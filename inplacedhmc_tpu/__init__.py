@@ -1,0 +1,54 @@
+"""inplacedhmc_tpu — a TPU-native dynamic-HMC (NUTS) inference engine.
+
+Brand-new JAX/XLA/Pallas implementation with the capabilities of the reference
+``chriselrod/InplaceDHMC.jl`` (see SURVEY.md): multinomial NUTS with
+generalized U-turn termination, velocity-Verlet leapfrog over diagonal/dense
+Gaussian kinetic energies, initial-stepsize search + dual averaging, the
+windowed warmup schedule with regularized mass-matrix estimation, an L-BFGS
+typical-set initializer, and tree-statistics/EBFMI/R-hat/ESS diagnostics —
+vmapped over chains on chip and sharded over device meshes across chips.
+
+Public API (the reference exports at ``InplaceDHMC.jl:3-11`` mapped here):
+``mcmc_with_warmup``/``sample`` (drivers), ``NUTS``, ``DualAveraging``,
+``TuningNUTS``, ``default_warmup_stages``, metric constructors, and the
+``diagnostics`` module.
+"""
+
+from .config import (DualAveraging, FindLocalOptimum, FixedStepsize,
+                     InitialStepsizeSearch, NUTS, TuningNUTS,
+                     default_warmup_stages, fixed_stepsize_warmup_stages)
+from .core.hamiltonian import batched_logdensity_and_grad, evaluate, joint_logdensity
+from .core.metric import (DenseMetric, DiagMetric, dense_metric, diag_metric,
+                          estimate_dense_metric, estimate_diag_metric,
+                          identity_metric)
+from .core.state import EvalPoint, PhasePoint, Termination, TreeStats, WarmupState
+from .models import Model
+from .nuts.tree import nuts_transition
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "NUTS", "DualAveraging", "FixedStepsize", "InitialStepsizeSearch",
+    "TuningNUTS", "FindLocalOptimum", "default_warmup_stages",
+    "fixed_stepsize_warmup_stages",
+    "DiagMetric", "DenseMetric", "diag_metric", "dense_metric",
+    "identity_metric", "estimate_diag_metric", "estimate_dense_metric",
+    "EvalPoint", "PhasePoint", "Termination", "TreeStats", "WarmupState",
+    "batched_logdensity_and_grad", "evaluate", "joint_logdensity",
+    "nuts_transition", "Model",
+    "__version__",
+]
+
+# High-level drivers are imported lazily to keep `import inplacedhmc_tpu`
+# cheap; `from inplacedhmc_tpu import sample` works via __getattr__.
+_LAZY = {"sample", "mcmc_with_warmup", "threaded_mcmc"}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        from . import sample as _sample_mod
+        return getattr(_sample_mod, name)
+    if name == "diagnostics":
+        from . import diagnostics as _diag
+        return _diag
+    raise AttributeError(f"module 'inplacedhmc_tpu' has no attribute {name!r}")

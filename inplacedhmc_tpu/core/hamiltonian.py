@@ -1,0 +1,57 @@
+"""Hamiltonian assembly: batched log-density evaluation and joint density.
+
+TPU equivalent of ``evaluate_ℓ!`` / ``logdensity(H, z)``
+(``/root/reference/src/kinetic_energy.jl:72-112``): the model is a pure
+``logp(q) -> scalar`` function; ``jax.vmap(jax.value_and_grad(...))`` replaces
+the in-place ``logdensity_and_gradient!`` interface, and non-finite values are
+mapped to ``-inf`` so they surface as divergences instead of crashing.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .metric import Metric, kinetic_energy
+from .state import EvalPoint
+
+
+def batched_logdensity_and_grad(logp: Callable) -> Callable:
+    """Turn a scalar ``logp([D])`` into a guarded batched ``[C, D] -> ([C], [C, D])``.
+
+    Non-finite log densities become ``-inf`` and their gradients are zeroed —
+    the divergence-safe sentinel semantics of ``evaluate_ℓ!``
+    (``kinetic_energy.jl:80-84``; the reference stores ``q`` as a placeholder
+    gradient, we store zeros so masked lockstep chains stay NaN-free).
+    """
+    vg = jax.vmap(jax.value_and_grad(logp))
+
+    def evaluate(q: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        val, grad = vg(q)
+        ok = jnp.isfinite(val)
+        val = jnp.where(ok, val, -jnp.inf)
+        grad = jnp.where(ok[..., None], grad, jnp.zeros_like(grad))
+        grad = jnp.where(jnp.isfinite(grad), grad, jnp.zeros_like(grad))
+        return val, grad
+
+    return evaluate
+
+
+def evaluate(potential: Callable, q: jnp.ndarray) -> EvalPoint:
+    """Build an :class:`EvalPoint` at ``q`` (``kinetic_energy.jl:72-85``)."""
+    logp, grad = potential(q)
+    return EvalPoint(q=q, logp=logp, grad=grad)
+
+
+def joint_logdensity(metric: Metric, logp_q: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """``logdensity(H, z) = ℓ(q) - K(p)`` with ``-inf`` guards.
+
+    Mirrors ``kinetic_energy.jl:107-112``: a non-finite ``ℓ(q)`` or a
+    non-finite kinetic energy (NaN/Inf leaked into the position during
+    leapfrog) both yield ``-inf``, making the point divergent.
+    """
+    k = kinetic_energy(metric, p)
+    val = logp_q - jnp.where(jnp.isfinite(k), k, jnp.inf)
+    return jnp.where(jnp.isfinite(val), val, -jnp.inf)

@@ -1,0 +1,165 @@
+"""Gaussian kinetic energies (diagonal and dense) and mass-matrix estimation.
+
+TPU-native equivalent of ``GaussianKineticEnergy``
+(``/root/reference/src/hamiltonian.jl:33-74``) and the fused regularized
+covariance estimator (``hamiltonian.jl:77-189``).  The reference's hand-written
+SIMD one-pass Welford kernel becomes a single fused XLA reduction; the dense
+(``Symmetric``) path — partially broken in the reference
+(``hamiltonian.jl:104-106`` is a dead method) — is implemented here in full.
+
+Metric arrays broadcast over the chains axis: shape ``[D]`` (one shared metric,
+as produced by pooled cross-chain adaptation) or ``[C, D]`` (independent
+per-chain adaptation, the reference's ``threaded_mcmc`` behavior).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Union
+
+import jax
+import jax.numpy as jnp
+
+
+class DiagMetric(NamedTuple):
+    """Diagonal Gaussian kinetic energy.
+
+    ``inv`` is ``M⁻¹`` (the estimated posterior variances); ``sqrt_mass`` is
+    ``W = M^{1/2} = (M⁻¹)^{-1/2}``, cached for momentum draws exactly like the
+    reference caches ``W`` (``hamiltonian.jl:50-57``).
+    """
+
+    inv: jnp.ndarray        # [..., D]
+    sqrt_mass: jnp.ndarray  # [..., D]
+
+
+class DenseMetric(NamedTuple):
+    """Dense Gaussian kinetic energy for correlated posteriors.
+
+    ``inv`` is ``M⁻¹`` (regularized sample covariance); ``mass_chol`` is the
+    lower Cholesky factor ``L`` with ``M = L Lᵀ``, used for momentum draws.
+    """
+
+    inv: jnp.ndarray        # [..., D, D]
+    mass_chol: jnp.ndarray  # [..., D, D]
+
+
+Metric = Union[DiagMetric, DenseMetric]
+
+
+def identity_metric(dim: int, dtype=jnp.float32, m_inv: float = 1.0) -> DiagMetric:
+    """Identity (scaled) starting metric (``hamiltonian.jl:63-74``)."""
+    inv = jnp.full((dim,), m_inv, dtype=dtype)
+    return DiagMetric(inv=inv, sqrt_mass=1.0 / jnp.sqrt(inv))
+
+
+def diag_metric(inv: jnp.ndarray) -> DiagMetric:
+    return DiagMetric(inv=inv, sqrt_mass=1.0 / jnp.sqrt(inv))
+
+
+def dense_metric(inv: jnp.ndarray) -> DenseMetric:
+    """Dense metric from ``M⁻¹``; computes ``chol(M)`` for momentum draws."""
+    mass = jnp.linalg.inv(inv)
+    # Symmetrize against numerical asymmetry before Cholesky.
+    mass = 0.5 * (mass + jnp.swapaxes(mass, -1, -2))
+    return DenseMetric(inv=inv, mass_chol=jnp.linalg.cholesky(mass))
+
+
+def kinetic_energy(metric: Metric, p: jnp.ndarray) -> jnp.ndarray:
+    """``K(p) = ½ pᵀ M⁻¹ p`` (``kinetic_energy.jl:14-24``).  ``p``: [C, D] → [C]."""
+    if isinstance(metric, DiagMetric):
+        return 0.5 * jnp.sum(p * metric.inv * p, axis=-1)
+    return 0.5 * jnp.einsum("...i,...ij,...j->...", p, metric.inv, p)
+
+
+def psharp(metric: Metric, p: jnp.ndarray) -> jnp.ndarray:
+    """``p♯ = M⁻¹ p`` used by the U-turn diagnostic (``kinetic_energy.jl:31-46``)."""
+    if isinstance(metric, DiagMetric):
+        return metric.inv * p
+    return jnp.einsum("...ij,...j->...i", metric.inv, p)
+
+
+def sample_momentum(metric: Metric, key, shape, dtype) -> jnp.ndarray:
+    """Draw ``p ~ N(0, M)`` (``kinetic_energy.jl:58-64``).  ``shape``: [C, D]."""
+    xi = jax.random.normal(key, shape, dtype)
+    if isinstance(metric, DiagMetric):
+        return metric.sqrt_mass * xi
+    return jnp.einsum("...ij,...j->...i", metric.mass_chol, xi)
+
+
+def regularized_variance(draws: jnp.ndarray, lam, pooled: bool = False,
+                         axis_name: str | None = None) -> jnp.ndarray:
+    """Regularized per-coordinate variance of warmup draws.
+
+    Matches the reference's estimator (``hamiltonian.jl:119-189``):
+    ``M⁻¹ = var(q) · N/(N+λ) + 1e-3 · λ/(N+λ)`` with unbiased sample variance.
+    (The docstring at ``warmup.jl:223-225`` claims shrinkage toward the median
+    diagonal; the *code* shrinks toward the constant ``1e-3`` — we follow the
+    code, which matches DynamicHMC's ``regularize_M⁻¹``.)
+
+    ``draws``: [N, C, D].  With ``pooled=False`` returns a per-chain [C, D]
+    estimate (the reference's independent-chain behavior); with ``pooled=True``
+    returns a single [D] estimate from all chains — and, when ``axis_name`` is
+    given inside a ``shard_map``, from all devices via ``psum``.
+    """
+    n = draws.shape[0]
+    if pooled:
+        # One pass over (draws, chains); cross-device via psum of the moments.
+        cnt = jnp.asarray(n * draws.shape[1], draws.dtype)
+        s1 = jnp.sum(draws, axis=(0, 1))
+        s2 = jnp.sum(draws * draws, axis=(0, 1))
+        if axis_name is not None:
+            cnt = jax.lax.psum(cnt, axis_name)
+            s1 = jax.lax.psum(s1, axis_name)
+            s2 = jax.lax.psum(s2, axis_name)
+        mean = s1 / cnt
+        var = (s2 - cnt * mean * mean) / (cnt - 1)
+        n_eff = cnt
+    else:
+        var = jnp.var(draws, axis=0, ddof=1)  # [C, D]
+        n_eff = jnp.asarray(n, draws.dtype)
+    lam = jnp.asarray(lam, draws.dtype)
+    return var * (n_eff / (n_eff + lam)) + jnp.asarray(1e-3, draws.dtype) * (lam / (n_eff + lam))
+
+
+def estimate_diag_metric(draws: jnp.ndarray, lam, pooled: bool = False,
+                         axis_name: str | None = None) -> DiagMetric:
+    """Diagonal metric re-estimate at the end of a tuning window (``warmup.jl:308-310``)."""
+    return diag_metric(regularized_variance(draws, lam, pooled, axis_name))
+
+
+def regularized_cov(draws: jnp.ndarray, lam, pooled: bool = True,
+                    axis_name: str | None = None) -> jnp.ndarray:
+    """Regularized covariance for the dense (``Symmetric``) metric path.
+
+    ``M⁻¹ = cov(q) · N/(N+λ) + 1e-3 · λ/(N+λ) · I`` — the dense analog of
+    :func:`regularized_variance` (the reference's ``TuningNUTS{Symmetric}``
+    option, ``warmup.jl:217-234``).
+    ``draws``: [N, C, D] → [D, D] (pooled) or [C, D, D] (per chain).
+    """
+    n = draws.shape[0]
+    d = draws.shape[-1]
+    if pooled:
+        cnt = jnp.asarray(n * draws.shape[1], draws.dtype)
+        flat = draws.reshape(-1, d)
+        s1 = jnp.sum(flat, axis=0)
+        s2 = flat.T @ flat
+        if axis_name is not None:
+            cnt = jax.lax.psum(cnt, axis_name)
+            s1 = jax.lax.psum(s1, axis_name)
+            s2 = jax.lax.psum(s2, axis_name)
+        mean = s1 / cnt
+        cov = (s2 - cnt * jnp.outer(mean, mean)) / (cnt - 1)
+        n_eff = cnt
+    else:
+        mean = jnp.mean(draws, axis=0)                       # [C, D]
+        c = draws - mean[None]
+        cov = jnp.einsum("nci,ncj->cij", c, c) / (n - 1)
+        n_eff = jnp.asarray(n, draws.dtype)
+    lam = jnp.asarray(lam, draws.dtype)
+    eye = jnp.eye(d, dtype=draws.dtype)
+    return cov * (n_eff / (n_eff + lam)) + jnp.asarray(1e-3, draws.dtype) * (lam / (n_eff + lam)) * eye
+
+
+def estimate_dense_metric(draws: jnp.ndarray, lam, pooled: bool = True,
+                          axis_name: str | None = None) -> DenseMetric:
+    return dense_metric(regularized_cov(draws, lam, pooled, axis_name))

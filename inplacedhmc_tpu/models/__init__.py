@@ -1,0 +1,14 @@
+"""Model zoo: the reference's capability surface plus the BASELINE configs."""
+
+from .base import Model
+from .eight_schools import eight_schools
+from .funnel import funnel
+from .gaussian import diag_normal, mvn, std_normal
+from .logistic import logistic_regression, synthetic_data
+from .stoch_vol import stoch_vol, synthetic_returns
+
+__all__ = [
+    "Model", "std_normal", "diag_normal", "mvn", "funnel",
+    "logistic_regression", "synthetic_data", "eight_schools",
+    "stoch_vol", "synthetic_returns",
+]

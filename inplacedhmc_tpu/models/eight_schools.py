@@ -1,0 +1,40 @@
+"""Eight-schools hierarchical model — BASELINE config 4 (1k vmapped chains/chip).
+
+Non-centered parameterization (the HMC-friendly form): parameters are
+``(mu, log_tau, z_1..z_8)``; school effects ``theta_j = mu + tau * z_j``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .base import Model
+
+# Classic data (Rubin 1981): treatment effects and standard errors.
+Y = jnp.asarray([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0])
+SIGMA = jnp.asarray([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
+
+
+def eight_schools() -> Model:
+    n = Y.shape[0]
+    dim = 2 + n
+
+    def logp(q):
+        mu, log_tau, z = q[0], q[1], q[2:]
+        tau = jnp.exp(log_tau)
+        theta = mu + tau * z
+        lp = -0.5 * (mu / 5.0) ** 2            # mu ~ N(0, 5^2)
+        lp += -0.5 * (log_tau / 5.0) ** 2 + 0.0  # log_tau ~ N(0, 5^2) (incl. Jacobian-free prior on log scale)
+        lp += -0.5 * jnp.sum(z * z)            # z ~ N(0, 1)
+        sig = jnp.asarray(SIGMA, q.dtype)
+        yy = jnp.asarray(Y, q.dtype)
+        lp += jnp.sum(-0.5 * ((yy - theta) / sig) ** 2)
+        return lp
+
+    def constrain(q):
+        mu, log_tau, z = q[..., 0], q[..., 1], q[..., 2:]
+        tau = jnp.exp(log_tau)
+        theta = mu[..., None] + tau[..., None] * z
+        return {"mu": mu, "tau": tau, "theta": theta}
+
+    return Model(name="eight_schools", dim=dim, logp=logp, constrain=constrain)
