@@ -1,0 +1,122 @@
+"""Benchmark: prints ONE JSON line with the primary metric.
+
+Primary metric (BASELINE.json): leapfrog steps/sec at 10k chains (100-D std
+normal, the raw transition-throughput number), plus ESS/sec/chip on Bayesian
+logistic regression (10k obs x 50 features) as an extra field.
+
+Runs on whatever backend JAX selects (the real TPU chip under the driver).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_leapfrog_steps_per_sec(n_chains=10_240, dim=100, n_transitions=16,
+                                 dtype=jnp.float32):
+    import inplacedhmc_tpu as ih
+    from inplacedhmc_tpu.models import std_normal
+
+    model = std_normal(dim)
+    pot = ih.batched_logdensity_and_grad(model.logp)
+    metric = ih.identity_metric(dim, dtype)
+    eps = jnp.asarray(0.25, dtype)
+
+    @jax.jit
+    def block(key, q):
+        z = ih.evaluate(pot, q)
+
+        def step(carry, k):
+            z, total = carry
+            z2, stats = ih.nuts_transition(k, pot, metric, z, eps, max_depth=10)
+            return (z2, total + jnp.sum(stats.steps.astype(jnp.int64))), None
+
+        keys = jax.random.split(key, n_transitions)
+        (z, total), _ = jax.lax.scan(step, (z, jnp.asarray(0, jnp.int64)), keys)
+        return z.q, total
+
+    key = jax.random.PRNGKey(0)
+    q0 = jax.random.normal(key, (n_chains, dim), dtype)
+    # warm-up compile
+    q1, total = block(jax.random.PRNGKey(1), q0)
+    q1.block_until_ready()
+    t0 = time.perf_counter()
+    q2, total = block(jax.random.PRNGKey(2), q1)
+    total = int(total)
+    q2.block_until_ready()
+    dt = time.perf_counter() - t0
+    return total / dt, total, dt
+
+
+def bench_logistic_ess_per_sec(n_chains=512, n_obs=10_000, n_feat=50,
+                               n_draws=256, dtype=jnp.float32):
+    import inplacedhmc_tpu as ih
+    from inplacedhmc_tpu import diagnostics as diag
+    from inplacedhmc_tpu.config import DualAveraging, default_warmup_stages
+    from inplacedhmc_tpu.models import logistic_regression, synthetic_data
+    from inplacedhmc_tpu.sample import _kernel
+    from inplacedhmc_tpu.config import NUTS
+
+    x, y, _ = synthetic_data(jax.random.PRNGKey(0), n_obs, n_feat, dtype)
+    model = logistic_regression(x, y)
+    stages = default_warmup_stages(
+        stepsize_adaptation=DualAveraging(),
+        init_steps=40, middle_steps=25, doubling_stages=3,
+        terminating_steps=25, metric="dense")
+    kern = _kernel(model, NUTS(), True, None)
+
+    # compile warmup + sampling once on small draws to exclude compile time
+    import inplacedhmc_tpu.adapt.warmup as W
+    key = jax.random.PRNGKey(1)
+    key, k_init, k_warm, k_sample = jax.random.split(key, 4)
+    state = W.init_warmup_state(k_init, kern.potential, model.dim, n_chains, dtype)
+    t0 = time.perf_counter()
+    state, _ = kern.warmup(k_warm, state, stages)
+    fn = kern._sampling_fn(n_draws)
+    out = fn(k_sample, state)
+    out.draws.block_until_ready()
+    warm_plus_sample_s = time.perf_counter() - t0
+    # timed sampling-only pass (steady state)
+    t1 = time.perf_counter()
+    out2 = fn(jax.random.PRNGKey(9), state._replace(z=out.z))
+    out2.draws.block_until_ready()
+    sample_s = time.perf_counter() - t1
+    ess = diag.ess_bulk(out2.draws)
+    ess_min = float(jnp.min(ess))
+    ess_mean = float(jnp.mean(ess))
+    return ess_min / sample_s, ess_mean / sample_s, sample_s, warm_plus_sample_s
+
+
+def main():
+    quick = "--quick" in sys.argv
+    lf_rate, lf_steps, lf_dt = bench_leapfrog_steps_per_sec(
+        n_chains=1024 if quick else 10_240,
+        n_transitions=4 if quick else 16)
+    extras = {"leapfrog_steps": lf_steps, "leapfrog_wall_s": round(lf_dt, 3)}
+    try:
+        ess_min_rate, ess_mean_rate, sample_s, total_s = bench_logistic_ess_per_sec(
+            n_chains=128 if quick else 512, n_draws=64 if quick else 256,
+            n_obs=2000 if quick else 10_000)
+        extras.update({
+            "logistic_ess_min_per_s": round(ess_min_rate, 2),
+            "logistic_ess_mean_per_s": round(ess_mean_rate, 2),
+            "logistic_sample_wall_s": round(sample_s, 3),
+        })
+    except Exception as e:  # keep the primary metric even if ESS bench fails
+        extras["logistic_error"] = repr(e)[:200]
+
+    print(json.dumps({
+        "metric": "leapfrog_steps_per_sec_10k_chains",
+        "value": round(lf_rate, 1),
+        "unit": "steps/s",
+        "vs_baseline": 1.0,
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

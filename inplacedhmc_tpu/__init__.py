@@ -45,10 +45,11 @@ _LAZY = {"sample", "mcmc_with_warmup", "threaded_mcmc"}
 
 
 def __getattr__(name):
+    import importlib
+
     if name in _LAZY:
-        from . import sample as _sample_mod
-        return getattr(_sample_mod, name)
-    if name == "diagnostics":
-        from . import diagnostics as _diag
-        return _diag
+        mod = importlib.import_module(".sample", __name__)
+        return getattr(mod, name)
+    if name in ("diagnostics", "sample", "parallel", "models", "report"):
+        return importlib.import_module("." + name, __name__)
     raise AttributeError(f"module 'inplacedhmc_tpu' has no attribute {name!r}")

@@ -1,0 +1,223 @@
+"""Post-hoc and on-device MCMC diagnostics.
+
+TPU rebuild of the reference's ``Diagnostics`` submodule
+(``/root/reference/src/diagnostics.jl``): EBFMI, tree-statistics summaries,
+acceptance-ratio exploration and leapfrog-trajectory visualization (the
+reference's ``leapfrog_trajectory`` iterator is stale/commented-out at
+``diagnostics.jl:171-181`` — implemented working here), **plus** the
+north-star additions the reference lacks: split-R̂ and bulk ESS
+(Vehtari et al. 2021 / Geyer initial monotone sequence), computed on device
+with jnp so they run cross-chain on a sharded mesh (XLA inserts the
+collectives; explicit ``axis_name`` variants live in ``parallel.collectives``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.hamiltonian import batched_logdensity_and_grad, evaluate, joint_logdensity
+from .core.metric import Metric, identity_metric, sample_momentum
+from .core.state import EvalPoint, PhasePoint, Termination, TreeStats
+from .ops.integrator import leapfrog
+
+ACCEPTANCE_QUANTILES = (0.05, 0.25, 0.5, 0.75, 0.95)
+
+
+# ---------------------------------------------------------------------------
+# EBFMI and tree-statistics summary (diagnostics.jl:28-127)
+# ---------------------------------------------------------------------------
+
+def ebfmi(energies: jnp.ndarray) -> jnp.ndarray:
+    """Energy Bayesian fraction of missing information (``diagnostics.jl:28-32``):
+    ``mean(diff(pi)^2) / var(pi)`` per chain.  ``energies``: [N] or [N, C]."""
+    e = jnp.asarray(energies)
+    d = jnp.diff(e, axis=0)
+    return jnp.mean(d * d, axis=0) / jnp.var(e, axis=0)
+
+
+@dataclasses.dataclass
+class TreeStatisticsSummary:
+    """Pretty-printable summary (``diagnostics.jl:44-55, 103-127``)."""
+
+    n: int
+    acceptance_mean: float
+    acceptance_quantiles: Dict[float, float]
+    termination_counts: Dict[str, int]
+    depth_counts: Dict[int, int]
+
+    def __str__(self):
+        qs = " ".join(f"{v:.2f}" for v in self.acceptance_quantiles.values())
+        term = ", ".join(f"{k} => {round(100 * v / self.n)}%"
+                         for k, v in sorted(self.termination_counts.items()))
+        depth = ", ".join(f"{k} => {round(100 * v / self.n)}%"
+                          for k, v in sorted(self.depth_counts.items()))
+        return (f"Hamiltonian Monte Carlo sample of length {self.n}\n"
+                f"  acceptance rate mean: {self.acceptance_mean:.2f}, "
+                f"5/25/50/75/95%: {qs}\n"
+                f"  termination: {term}\n"
+                f"  depth: {depth}")
+
+
+def summarize_tree_statistics(stats: TreeStats) -> TreeStatisticsSummary:
+    """Acceptance quantiles + termination/depth histograms
+    (``summarize_tree_statistics``, ``diagnostics.jl:94-101``)."""
+    acc = np.asarray(stats.acceptance_rate).ravel()
+    term = np.asarray(stats.termination).ravel()
+    depth = np.asarray(stats.depth).ravel()
+    term_counts = {
+        "max_depth": int(np.sum(term == Termination.MAX_DEPTH)),
+        "divergence": int(np.sum(term == Termination.DIVERGENCE)),
+        "turning": int(np.sum(term == Termination.TURNING)),
+    }
+    depths, counts = np.unique(depth, return_counts=True)
+    return TreeStatisticsSummary(
+        n=acc.size,
+        acceptance_mean=float(acc.mean()),
+        acceptance_quantiles={q: float(np.quantile(acc, q))
+                              for q in ACCEPTANCE_QUANTILES},
+        termination_counts=term_counts,
+        depth_counts={int(d): int(c) for d, c in zip(depths, counts)},
+    )
+
+
+def divergence_fraction(stats: TreeStats) -> float:
+    return float(np.mean(np.asarray(stats.termination) == Termination.DIVERGENCE))
+
+
+# ---------------------------------------------------------------------------
+# split R-hat and ESS — on-device, jittable (north-star additions)
+# ---------------------------------------------------------------------------
+
+def split_rhat(draws: jnp.ndarray) -> jnp.ndarray:
+    """Split-R̂ (Vehtari et al. 2021).  ``draws``: [N, C, D] → [D].
+
+    Each chain is split in half (2C sequences of N//2), then the classic
+    between/within variance ratio.  The reference has no R̂ (SURVEY.md C16);
+    this is the cross-chain capability the TPU build adds.
+    """
+    n, c, d = draws.shape
+    half = n // 2
+    x = jnp.concatenate([draws[:half], draws[half:2 * half]], axis=1)  # [half, 2C, D]
+    m = x.shape[1]
+    chain_mean = jnp.mean(x, axis=0)              # [2C, D]
+    chain_var = jnp.var(x, axis=0, ddof=1)        # [2C, D]
+    w = jnp.mean(chain_var, axis=0)               # [D]
+    b = half * jnp.var(chain_mean, axis=0, ddof=1)
+    var_plus = (half - 1) / half * w + b / half
+    return jnp.sqrt(var_plus / w)
+
+
+def _autocov_fft(x: jnp.ndarray) -> jnp.ndarray:
+    """Autocovariance along axis 0 via FFT.  ``x``: [N, ...] → [N, ...]."""
+    n = x.shape[0]
+    xc = x - jnp.mean(x, axis=0, keepdims=True)
+    size = 2 * n  # zero-pad to avoid circular correlation
+    f = jnp.fft.rfft(xc, size, axis=0)
+    acov = jnp.fft.irfft(f * jnp.conj(f), size, axis=0)[:n]
+    return acov / n
+
+
+def ess_bulk(draws: jnp.ndarray) -> jnp.ndarray:
+    """Effective sample size (Geyer initial monotone sequence, split chains).
+
+    ``draws``: [N, C, D] → [D].  Stan-style combined autocorrelation
+    ``rho_t = 1 - (W - mean_chain_acov_t) / var_plus``; Geyer pair sums
+    ``P_k = rho_{2k} + rho_{2k+1}`` are truncated at the first non-positive
+    pair and enforced non-increasing; ``tau = -1 + 2 sum_k P_k``;
+    ``ESS = M N / tau``.  Fully jnp (FFT on device), jittable.
+    """
+    n, c, d = draws.shape
+    half = n // 2
+    x = jnp.concatenate([draws[:half], draws[half:2 * half]], axis=1)  # [half, 2C, D]
+    m = x.shape[1]
+    acov = _autocov_fft(x)                         # [half, 2C, D] (biased, /half)
+    chain_var = acov[0] * half / (half - 1)        # [2C, D]
+    w = jnp.mean(chain_var, axis=0)                # [D]
+    chain_mean = jnp.mean(x, axis=0)
+    b = half * jnp.var(chain_mean, axis=0, ddof=1)
+    var_plus = (half - 1) / half * w + b / half    # [D]
+
+    rho = 1.0 - (w[None] - jnp.mean(acov, axis=1)) / var_plus[None]  # [half, D]
+    n_pairs = half // 2
+    p = rho[: 2 * n_pairs].reshape(n_pairs, 2, d).sum(axis=1)  # [n_pairs, D]
+    pos = jnp.cumprod(p > 0, axis=0).astype(bool)  # true until first non-positive
+    p = jnp.where(pos, p, 0.0)
+    p = jax.lax.cummin(p, axis=0)                  # initial monotone sequence
+    p = jnp.maximum(p, 0.0)
+    tau = -1.0 + 2.0 * jnp.sum(p, axis=0)
+    tau = jnp.maximum(tau, 1e-8)
+    total = jnp.asarray(m * half, draws.dtype)
+    return jnp.minimum(total / tau, total)
+
+
+def ess_per_second(draws: jnp.ndarray, wall_s: float) -> jnp.ndarray:
+    return ess_bulk(draws) / wall_s
+
+
+# ---------------------------------------------------------------------------
+# acceptance-ratio exploration + leapfrog trajectory (diagnostics.jl:129-216)
+# ---------------------------------------------------------------------------
+
+def explore_log_acceptance_ratios(model, q, log2_eps, key=None,
+                                  metric: Optional[Metric] = None,
+                                  n_momenta: int = 20) -> jnp.ndarray:
+    """Grid of uncapped log acceptance ratios over step sizes x momenta
+    (``diagnostics.jl:138-150``; working, unlike the reference's stale
+    version).  Returns ``[len(log2_eps), n_momenta]``."""
+    q = jnp.asarray(q)
+    dim = q.shape[-1]
+    metric = metric or identity_metric(dim, q.dtype)
+    key = key if key is not None else jax.random.PRNGKey(0)
+    pot = batched_logdensity_and_grad(model.logp)
+    ps = sample_momentum(metric, key, (n_momenta, dim), q.dtype)
+    qb = jnp.broadcast_to(q[None], (n_momenta, dim))
+    z0 = evaluate(pot, qb)
+    target = joint_logdensity(metric, z0.logp, ps)
+
+    def ratio_for(eps):
+        z1 = leapfrog(pot, metric, PhasePoint(Q=z0, p=ps), eps)
+        return joint_logdensity(metric, z1.Q.logp, z1.p) - target
+
+    epss = jnp.asarray([2.0 ** e for e in log2_eps], q.dtype)
+    return jax.vmap(ratio_for)(epss)
+
+
+class TrajectoryPoint(NamedTuple):
+    position: int
+    q: np.ndarray
+    delta: float
+
+
+def leapfrog_trajectory(model, q, eps, positions, key=None,
+                        metric: Optional[Metric] = None,
+                        p: Optional[jnp.ndarray] = None):
+    """Trace a leapfrog trajectory over integer ``positions`` (must contain 0)
+    relative to ``q`` (``diagnostics.jl:203-216``, fixed).  Returns a list of
+    :class:`TrajectoryPoint` with Δ = joint density relative to position 0."""
+    lo, hi = min(positions), max(positions)
+    assert lo <= 0 <= hi, "positions must contain 0"
+    q = jnp.asarray(q)
+    dim = q.shape[-1]
+    metric = metric or identity_metric(dim, q.dtype)
+    pot = batched_logdensity_and_grad(model.logp)
+    if p is None:
+        key = key if key is not None else jax.random.PRNGKey(0)
+        p = sample_momentum(metric, key, (1, dim), q.dtype)[0]
+    z0 = evaluate(pot, q[None])
+    pi0 = float(joint_logdensity(metric, z0.logp, p[None])[0])
+
+    out = {0: TrajectoryPoint(0, np.asarray(q), 0.0)}
+    for sgn, count in ((1, hi), (-1, -lo)):
+        z = PhasePoint(Q=z0, p=p[None])
+        for i in range(1, count + 1):
+            z = leapfrog(pot, metric, z, jnp.asarray(sgn * eps, q.dtype))
+            delta = float(joint_logdensity(metric, z.Q.logp, z.p)[0]) - pi0
+            out[sgn * i] = TrajectoryPoint(sgn * i, np.asarray(z.Q.q[0]), delta)
+            if not np.isfinite(delta):
+                break
+    return [out[i] for i in sorted(out)]

@@ -1,0 +1,99 @@
+"""Explicit-collective cross-device diagnostics and reductions.
+
+The ``shard_map`` counterpart of the GSPMD path in ``mesh.py``: these
+functions take a *local* shard of chains (``[N, C_local, D]``) inside a
+``shard_map`` region and combine across the ``'chain'`` mesh axis with
+``lax.psum`` — R-hat and ESS over every chain on every device without ever
+gathering the draws (the north-star collective capability; the reference has
+no distributed backend at all, SURVEY.md §5).
+
+Each chain lives entirely on one device (chains are sharded, draws are not),
+so per-chain statistics (means, variances, autocovariances) are local; only
+O(D) moment vectors cross the ICI.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _psum(x, axis_name):
+    return lax.psum(x, axis_name) if axis_name is not None else x
+
+
+def pmean_scalar(x, axis_name=None):
+    """Cross-device mean of an already-locally-reduced scalar."""
+    return lax.pmean(x, axis_name) if axis_name is not None else x
+
+
+def _split_chains(draws):
+    n = draws.shape[0]
+    half = n // 2
+    return jnp.concatenate([draws[:half], draws[half:2 * half]], axis=1), half
+
+
+def split_rhat_sharded(draws_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Split-R̂ over all chains on all devices.  ``draws_local``: [N, C_loc, D].
+
+    Communicates only four [D] vectors (counts + three moment sums).
+    """
+    x, half = _split_chains(draws_local)
+    m_local = x.shape[1]
+    chain_mean = jnp.mean(x, axis=0)          # [2C_loc, D]
+    chain_var = jnp.var(x, axis=0, ddof=1)    # [2C_loc, D]
+
+    m = _psum(jnp.asarray(m_local, x.dtype), axis_name)
+    s1 = _psum(jnp.sum(chain_mean, axis=0), axis_name)
+    s2 = _psum(jnp.sum(chain_mean * chain_mean, axis=0), axis_name)
+    w = _psum(jnp.sum(chain_var, axis=0), axis_name) / m
+
+    grand_mean = s1 / m
+    b = half * (s2 - m * grand_mean * grand_mean) / (m - 1)
+    var_plus = (half - 1) / half * w + b / half
+    return jnp.sqrt(var_plus / w)
+
+
+def ess_bulk_sharded(draws_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Bulk ESS over all chains on all devices (Geyer monotone sequence).
+
+    Autocovariances are per-chain and therefore local; only their [half, D]
+    cross-chain mean and the moment vectors are psum-combined.
+    """
+    x, half = _split_chains(draws_local)
+    m_local = x.shape[1]
+    xc = x - jnp.mean(x, axis=0, keepdims=True)
+    size = 2 * half
+    f = jnp.fft.rfft(xc, size, axis=0)
+    acov = jnp.fft.irfft(f * jnp.conj(f), size, axis=0)[:half] / half  # [half, 2C_loc, D]
+
+    m = _psum(jnp.asarray(m_local, x.dtype), axis_name)
+    acov_mean = _psum(jnp.sum(acov, axis=1), axis_name) / m   # [half, D]
+    chain_var = acov[0] * half / (half - 1)
+    w = _psum(jnp.sum(chain_var, axis=0), axis_name) / m      # [D]
+    chain_mean = jnp.mean(x, axis=0)
+    s1 = _psum(jnp.sum(chain_mean, axis=0), axis_name)
+    s2 = _psum(jnp.sum(chain_mean * chain_mean, axis=0), axis_name)
+    grand_mean = s1 / m
+    b = half * (s2 - m * grand_mean * grand_mean) / (m - 1)
+    var_plus = (half - 1) / half * w + b / half
+
+    rho = 1.0 - (w[None] - acov_mean) / var_plus[None]        # [half, D]
+    d = rho.shape[-1]
+    n_pairs = half // 2
+    p = rho[: 2 * n_pairs].reshape(n_pairs, 2, d).sum(axis=1)
+    pos = jnp.cumprod(p > 0, axis=0).astype(bool)
+    p = jnp.where(pos, p, 0.0)
+    p = lax.cummin(p, axis=0)
+    p = jnp.maximum(p, 0.0)
+    tau = jnp.maximum(-1.0 + 2.0 * jnp.sum(p, axis=0), 1e-8)
+    total = m * half
+    return jnp.minimum(total / tau, total)
+
+
+def pooled_acceptance(accept_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Cross-device mean acceptance for shared dual averaging."""
+    s = _psum(jnp.sum(accept_local), axis_name)
+    n = _psum(jnp.asarray(accept_local.shape[0], accept_local.dtype), axis_name)
+    return s / n

@@ -1,0 +1,214 @@
+"""High-level sampling drivers.
+
+TPU rebuild of ``/root/reference/src/mcmc.jl``:
+
+* :func:`mcmc_with_warmup` — warmup + sampling for ``n_chains`` vmapped chains
+  (``mcmc.jl:94-128``); one chain is just ``n_chains=1``.
+* :func:`threaded_mcmc` — the reference's thread-per-chain driver
+  (``mcmc.jl:130-159``): chains adapt **independently** (per-chain step size
+  and metric), which on TPU is simply ``pooled=False``.
+* :func:`sample` — the TPU-idiomatic entry: pooled cross-chain adaptation
+  (shared eps + mass matrix via cross-chain/device reductions), optional
+  ``jax.sharding.Mesh`` to shard chains across devices (GSPMD inserts the
+  collectives over ICI automatically).
+
+Each warmup stage is a separately jitted block (stage lengths are static);
+the Python loop between blocks is the reference's ``_warmup!`` unroller
+(``warmup.jl:397-408``).  Compiled stage functions are cached per
+(model, config, shapes) so repeated calls don't recompile.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .adapt import warmup as W
+from .config import (DualAveraging, FindLocalOptimum, InitialStepsizeSearch,
+                     NUTS, TuningNUTS, default_warmup_stages)
+from .core.hamiltonian import batched_logdensity_and_grad
+from .core.metric import Metric
+from .core.state import EvalPoint, TreeStats, WarmupState
+from .models.base import Model
+from .report import NoProgressReport
+
+
+class MCMCResult(NamedTuple):
+    """Chain output: ``draws`` is ``[n_draws, n_chains, dim]``; ``stats`` are
+    per-transition :class:`TreeStats` (``[n_draws, n_chains]`` fields);
+    ``warmup_state`` holds the adapted metric/eps (``mcmc.jl:94-106``)."""
+
+    draws: jnp.ndarray
+    stats: TreeStats
+    warmup_state: WarmupState
+    warmup_stats: Optional[TreeStats] = None
+
+
+class NUTSKernel:
+    """Compiled sampling kernels for one (model, algorithm, adaptation) config.
+
+    Reusable across calls: jitted stage functions are cached on this object,
+    so the second ``run`` with the same shapes costs no compilation.
+    """
+
+    def __init__(self, model: Model, algorithm: NUTS = NUTS(),
+                 pooled: bool = True, axis_name: Optional[str] = None):
+        self.model = model
+        self.algorithm = algorithm
+        self.pooled = pooled
+        self.axis_name = axis_name
+        self.potential = batched_logdensity_and_grad(model.logp)
+        self._jit_cache: dict = {}
+
+    # -- jitted stage builders ------------------------------------------------
+
+    def _tuning_fn(self, stage: TuningNUTS):
+        key = ("tuning", stage)
+        if key not in self._jit_cache:
+            f = functools.partial(W.run_tuning, potential=self.potential,
+                                  stage=stage, algorithm=self.algorithm,
+                                  pooled=self.pooled, axis_name=self.axis_name)
+            self._jit_cache[key] = jax.jit(
+                lambda k, state: f(k, state=state), donate_argnums=(1,))
+        return self._jit_cache[key]
+
+    def _search_fn(self, stage: InitialStepsizeSearch):
+        key = ("search", stage)
+        if key not in self._jit_cache:
+            f = functools.partial(W.run_stepsize_search, potential=self.potential,
+                                  stage=stage, pooled=self.pooled,
+                                  axis_name=self.axis_name)
+            self._jit_cache[key] = jax.jit(lambda k, state: f(k, state=state))
+        return self._jit_cache[key]
+
+    def _sampling_fn(self, n_draws: int):
+        key = ("sampling", n_draws)
+        if key not in self._jit_cache:
+            f = functools.partial(W.run_sampling, potential=self.potential,
+                                  algorithm=self.algorithm, n_draws=n_draws)
+            self._jit_cache[key] = jax.jit(
+                lambda k, state: f(k, state=state))
+        return self._jit_cache[key]
+
+    # -- driver ---------------------------------------------------------------
+
+    def warmup(self, key, state: WarmupState, stages: Sequence, reporter=None
+               ) -> Tuple[WarmupState, list]:
+        """Run the stage sequence (the ``_warmup!`` unroller, ``warmup.jl:397-408``)."""
+        reporter = reporter or NoProgressReport()
+        warmup_stats = []
+        for stage in stages:
+            if stage is None:
+                continue
+            key, sub = jax.random.split(key)
+            if isinstance(stage, FindLocalOptimum):
+                reporter.start_stage("find local optimum")
+                state = W.run_local_optimum(sub, self.model.logp, self.potential,
+                                            stage, state)
+                reporter.end_stage()
+            elif isinstance(stage, InitialStepsizeSearch):
+                reporter.start_stage("initial stepsize search")
+                state = self._search_fn(stage)(sub, state)
+                eps = float(jnp.exp(jnp.atleast_1d(state.log_eps))[0])
+                reporter.end_stage(eps=eps)
+            elif isinstance(stage, TuningNUTS):
+                desc = f"tuning {stage.n} steps" + (
+                    f" + {stage.metric} metric" if stage.metric else "")
+                reporter.start_stage(desc, stage.n)
+                if state.log_eps is None:
+                    raise ValueError(
+                        "TuningNUTS stage needs an eps: provide `eps=` in "
+                        "initialization or keep InitialStepsizeSearch in the schedule")
+                res = self._tuning_fn(stage)(sub, state)
+                state = res.state
+                warmup_stats.append(res.stats)
+                eps = float(jnp.exp(jnp.atleast_1d(state.log_eps))[0])
+                reporter.end_stage(eps=eps)
+            else:
+                raise TypeError(f"unknown warmup stage {stage!r}")
+        return state, warmup_stats
+
+    def run(self, key, n_draws: int, n_chains: int = 1, *,
+            warmup_stages: Optional[Sequence] = None,
+            q: Optional[jnp.ndarray] = None,
+            metric: Optional[Metric] = None,
+            eps: Optional[float] = None,
+            dtype=jnp.float32,
+            reporter=None,
+            collect_warmup_stats: bool = True) -> MCMCResult:
+        reporter = reporter or NoProgressReport()
+        if warmup_stages is None:
+            warmup_stages = default_warmup_stages()
+        key, k_init, k_warm, k_sample = jax.random.split(key, 4)
+        state = W.init_warmup_state(k_init, self.potential, self.model.dim,
+                                    n_chains, dtype, q=q, metric=metric, eps=eps)
+        state, warmup_stats = self.warmup(k_warm, state, warmup_stages, reporter)
+        reporter.start_stage(f"sampling {n_draws} draws x {n_chains} chains", n_draws)
+        out = self._sampling_fn(n_draws)(k_sample, state)
+        reporter.end_stage()
+        ws = None
+        if collect_warmup_stats and warmup_stats:
+            ws = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *warmup_stats)
+        final_state = WarmupState(z=out.z, metric=state.metric, log_eps=state.log_eps)
+        return MCMCResult(draws=out.draws, stats=out.stats,
+                          warmup_state=final_state, warmup_stats=ws)
+
+
+_KERNEL_CACHE: dict = {}
+
+
+def _kernel(model: Model, algorithm: NUTS, pooled: bool,
+            axis_name: Optional[str]) -> NUTSKernel:
+    key = (model, algorithm, pooled, axis_name)
+    if key not in _KERNEL_CACHE:
+        _KERNEL_CACHE[key] = NUTSKernel(model, algorithm, pooled, axis_name)
+    return _KERNEL_CACHE[key]
+
+
+def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
+                     delta: float = 0.8,
+                     algorithm: NUTS = NUTS(),
+                     warmup_stages: Optional[Sequence] = None,
+                     pooled: Optional[bool] = None,
+                     q: Optional[jnp.ndarray] = None,
+                     metric: Optional[Metric] = None,
+                     eps: Optional[float] = None,
+                     dtype=jnp.float32,
+                     reporter=None) -> MCMCResult:
+    """NUTS with the default windowed warmup (``mcmc_with_warmup``,
+    ``mcmc.jl:109-128``).  ``delta`` is the dual-averaging target acceptance
+    rate (the reference's ``δ`` kwarg, ``mcmc.jl:110-111``)."""
+    if pooled is None:
+        pooled = n_chains > 1
+    if warmup_stages is None:
+        warmup_stages = default_warmup_stages(
+            stepsize_adaptation=DualAveraging(delta=delta))
+    kern = _kernel(model, algorithm, pooled, None)
+    return kern.run(key, n_draws, n_chains, warmup_stages=warmup_stages,
+                    q=q, metric=metric, eps=eps, dtype=dtype, reporter=reporter)
+
+
+def threaded_mcmc(key, model: Model, n_draws: int, n_chains: int, *,
+                  delta: float = 0.8, **kw) -> MCMCResult:
+    """The reference's thread-per-chain driver (``mcmc.jl:130-159``):
+    fully independent per-chain adaptation (``pooled=False``); on TPU the
+    "threads" are vmapped lanes."""
+    return mcmc_with_warmup(key, model, n_draws, n_chains, delta=delta,
+                            pooled=False, **kw)
+
+
+def sample(key, model: Model, n_draws: int, n_chains: int, *,
+           delta: float = 0.8, mesh=None, **kw) -> MCMCResult:
+    """TPU-idiomatic entry point: pooled cross-chain adaptation; pass a
+    ``jax.sharding.Mesh`` with a ``'chain'`` axis to shard chains across
+    devices (see ``parallel.mesh``)."""
+    if mesh is not None:
+        from .parallel.mesh import run_sharded
+        return run_sharded(key, model, n_draws, n_chains, mesh=mesh,
+                           delta=delta, **kw)
+    return mcmc_with_warmup(key, model, n_draws, n_chains, delta=delta,
+                            pooled=True, **kw)

@@ -1,0 +1,99 @@
+"""Diagnostics tests: EBFMI, summaries, R-hat, ESS (SURVEY.md C16 + north-star)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from inplacedhmc_tpu import diagnostics as diag
+from inplacedhmc_tpu.core.state import Termination, TreeStats
+from inplacedhmc_tpu.models import std_normal
+
+
+def test_ebfmi_iid_energies_near_two():
+    """For iid energies, E[diff^2] = 2 var -> EBFMI ~ 2."""
+    rng = np.random.default_rng(0)
+    e = rng.normal(size=(5000, 3))
+    val = np.asarray(diag.ebfmi(jnp.asarray(e)))
+    np.testing.assert_allclose(val, 2.0, atol=0.15)
+
+
+def test_rhat_iid_chains_near_one():
+    rng = np.random.default_rng(1)
+    draws = rng.normal(size=(500, 8, 4))
+    r = np.asarray(diag.split_rhat(jnp.asarray(draws)))
+    np.testing.assert_allclose(r, 1.0, atol=0.03)
+
+
+def test_rhat_detects_disjoint_chains():
+    rng = np.random.default_rng(2)
+    draws = rng.normal(size=(500, 8, 2))
+    draws[:, :4, 0] += 5.0  # half the chains offset in dim 0
+    r = np.asarray(diag.split_rhat(jnp.asarray(draws)))
+    assert r[0] > 1.5, r
+    assert abs(r[1] - 1.0) < 0.05, r
+
+
+def test_rhat_detects_within_chain_drift():
+    rng = np.random.default_rng(3)
+    draws = rng.normal(size=(600, 4, 1))
+    draws[:, :, 0] += np.linspace(0, 4, 600)[:, None]  # trend: split-Rhat catches it
+    r = np.asarray(diag.split_rhat(jnp.asarray(draws)))
+    assert r[0] > 1.2, r
+
+
+def test_ess_iid_near_total():
+    rng = np.random.default_rng(4)
+    n, c, d = 400, 8, 3
+    draws = rng.normal(size=(n, c, d))
+    ess = np.asarray(diag.ess_bulk(jnp.asarray(draws)))
+    total = (n // 2) * 2 * c
+    assert np.all(ess > 0.5 * total), (ess, total)
+
+
+def test_ess_ar1_matches_theory():
+    """AR(1) with coefficient phi has tau = (1+phi)/(1-phi)."""
+    rng = np.random.default_rng(5)
+    phi = 0.9
+    n, c = 4000, 8
+    x = np.zeros((n, c, 1))
+    noise = rng.normal(size=(n, c, 1)) * np.sqrt(1 - phi**2)
+    for t in range(1, n):
+        x[t] = phi * x[t - 1] + noise[t]
+    ess = float(np.asarray(diag.ess_bulk(jnp.asarray(x)))[0])
+    total = (n // 2) * 2 * c
+    tau_true = (1 + phi) / (1 - phi)  # = 19
+    assert 0.5 * total / tau_true < ess < 2.0 * total / tau_true, (ess, total / tau_true)
+
+
+def test_summarize_tree_statistics():
+    c = 100
+    stats = TreeStats(
+        energy=jnp.zeros(c),
+        acceptance_rate=jnp.linspace(0, 1, c),
+        termination=jnp.asarray([Termination.MAX_DEPTH] * 50 +
+                                [Termination.DIVERGENCE] * 20 +
+                                [Termination.TURNING] * 30),
+        term_left=jnp.zeros(c, jnp.int32), term_right=jnp.zeros(c, jnp.int32),
+        depth=jnp.asarray([3] * 60 + [5] * 40, jnp.int32),
+        steps=jnp.full(c, 7, jnp.int32))
+    s = diag.summarize_tree_statistics(stats)
+    assert s.n == 100
+    assert s.termination_counts == {"max_depth": 50, "divergence": 20, "turning": 30}
+    assert s.depth_counts == {3: 60, 5: 40}
+    assert "acceptance rate" in str(s)
+    assert diag.divergence_fraction(stats) == 0.2
+
+
+def test_explore_log_acceptance_ratios_and_trajectory():
+    model = std_normal(4)
+    grid = diag.explore_log_acceptance_ratios(model, np.zeros(4), [-3, -1, 0, 1],
+                                              key=jax.random.PRNGKey(0))
+    assert grid.shape == (4, 20)
+    # smaller steps -> better acceptance (less negative log ratios)
+    assert float(jnp.mean(grid[0])) > float(jnp.mean(grid[3])) - 1e-9
+
+    pts = diag.leapfrog_trajectory(model, np.zeros(4), 0.3, range(-5, 6),
+                                   key=jax.random.PRNGKey(1))
+    assert [p.position for p in pts] == list(range(-5, 6))
+    assert pts[5].delta == 0.0
+    assert all(np.isfinite(p.delta) for p in pts)

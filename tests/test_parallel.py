@@ -1,0 +1,109 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (SURVEY.md §4.4).
+
+Exercises both distribution paths: GSPMD (sharded arrays through jitted
+stages, collectives inserted by XLA) and explicit shard_map + psum
+(collectives.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from inplacedhmc_tpu import diagnostics as diag
+from inplacedhmc_tpu.models import eight_schools, std_normal
+from inplacedhmc_tpu.parallel.collectives import (ess_bulk_sharded,
+                                                  pooled_acceptance,
+                                                  split_rhat_sharded)
+from inplacedhmc_tpu.parallel.mesh import (chain_spec, make_chain_mesh,
+                                           run_sharded, shard_by_chain)
+from inplacedhmc_tpu.sample import sample
+from inplacedhmc_tpu.config import default_warmup_stages
+
+
+def test_mesh_has_8_devices():
+    mesh = make_chain_mesh()
+    assert mesh.size == 8
+
+
+def test_sharded_sampling_end_to_end():
+    """Full warmup + sampling with chains sharded over 8 devices; posterior
+    must match and outputs stay chain-sharded."""
+    mesh = make_chain_mesh()
+    model = std_normal(6)
+    stages = default_warmup_stages(init_steps=30, middle_steps=25,
+                                   doubling_stages=2, terminating_steps=20)
+    res = sample(jax.random.PRNGKey(0), model, n_draws=300, n_chains=32,
+                 mesh=mesh, warmup_stages=stages, dtype=jnp.float64)
+    flat = np.asarray(res.draws).reshape(-1, 6)
+    np.testing.assert_allclose(flat.mean(0), 0.0, atol=0.1)
+    np.testing.assert_allclose(flat.var(0), 1.0, atol=0.2)
+    # pooled adaptation => one shared eps scalar, one [D] metric
+    assert np.asarray(res.warmup_state.log_eps).ndim == 0
+    assert np.asarray(res.warmup_state.metric.inv).shape == (6,)
+    # draws sharded over chains axis
+    shard_axes = {s.device for s in res.draws.addressable_shards}
+    assert len(shard_axes) == 8
+
+
+def test_gspmd_matches_single_device():
+    """The sharded run must produce identical results to the unsharded run
+    with the same key (GSPMD is a partitioning, not an algorithm change)."""
+    model = std_normal(4)
+    stages = default_warmup_stages(init_steps=20, middle_steps=20,
+                                   doubling_stages=1, terminating_steps=15)
+    key = jax.random.PRNGKey(42)
+    res_single = sample(key, model, n_draws=100, n_chains=16,
+                        warmup_stages=stages, dtype=jnp.float64)
+    mesh = make_chain_mesh()
+    res_sharded = sample(key, model, n_draws=100, n_chains=16, mesh=mesh,
+                         warmup_stages=stages, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(res_single.draws),
+                               np.asarray(res_sharded.draws), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(res_single.warmup_state.log_eps),
+                               np.asarray(res_sharded.warmup_state.log_eps),
+                               atol=1e-10)
+
+
+def test_shard_map_rhat_ess_match_local():
+    """Explicit psum-based R-hat/ESS must equal the single-device versions."""
+    mesh = make_chain_mesh()
+    rng = np.random.default_rng(0)
+    n, c, d = 200, 32, 3
+    phi = 0.7
+    draws = np.zeros((n, c, d))
+    noise = rng.normal(size=(n, c, d))
+    for t in range(1, n):
+        draws[t] = phi * draws[t - 1] + noise[t] * np.sqrt(1 - phi**2)
+    draws = jnp.asarray(draws)
+
+    want_rhat = np.asarray(diag.split_rhat(draws))
+    want_ess = np.asarray(diag.ess_bulk(draws))
+
+    spec = P(None, "chain", None)
+    fn = shard_map(
+        lambda x: (split_rhat_sharded(x, "chain"), ess_bulk_sharded(x, "chain")),
+        mesh=mesh, in_specs=(spec,), out_specs=(P(), P()))
+    got_rhat, got_ess = fn(jax.device_put(draws, NamedSharding(mesh, spec)))
+    np.testing.assert_allclose(np.asarray(got_rhat), want_rhat, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(got_ess), want_ess, rtol=1e-6)
+
+
+def test_pooled_acceptance_collective():
+    mesh = make_chain_mesh()
+    acc = jnp.linspace(0.0, 1.0, 64)
+    fn = shard_map(lambda a: pooled_acceptance(a, "chain"), mesh=mesh,
+                   in_specs=(P("chain"),), out_specs=P())
+    got = float(fn(jax.device_put(acc, NamedSharding(mesh, P("chain")))))
+    np.testing.assert_allclose(got, float(jnp.mean(acc)), rtol=1e-12)
+
+
+def test_shard_by_chain_placement():
+    mesh = make_chain_mesh()
+    tree = {"q": jnp.zeros((16, 5)), "metric": jnp.ones((5,)), "eps": jnp.asarray(0.5)}
+    out = shard_by_chain(tree, mesh, 16)
+    assert len({s.device for s in out["q"].addressable_shards}) == 8
+    assert out["metric"].sharding.is_fully_replicated
+    assert out["eps"].sharding.is_fully_replicated

@@ -1,0 +1,145 @@
+"""End-to-end statistical integration tests (SURVEY.md §4.3, BASELINE configs).
+
+Moment checks follow the correctness bar: posterior moments within Monte-Carlo
+error of the truth.  Sizes are scaled down for CI speed; the full-size configs
+run in bench.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import inplacedhmc_tpu as ih
+from inplacedhmc_tpu.models import eight_schools, funnel, mvn, std_normal
+from inplacedhmc_tpu.sample import mcmc_with_warmup, threaded_mcmc
+from inplacedhmc_tpu import diagnostics as diag
+from inplacedhmc_tpu.config import default_warmup_stages, DualAveraging
+
+
+def short_stages(metric="diag", delta=0.8):
+    return default_warmup_stages(
+        stepsize_adaptation=DualAveraging(delta=delta),
+        init_steps=40, middle_steps=25, doubling_stages=3, terminating_steps=25,
+        metric=metric)
+
+
+def test_std_normal_moments_single_chainish():
+    """BASELINE config 1 (shrunk): std normal posterior moments + acceptance
+    near the dual-averaging target delta=0.8."""
+    model = std_normal(20)
+    res = mcmc_with_warmup(jax.random.PRNGKey(0), model, n_draws=800,
+                           n_chains=8, warmup_stages=short_stages(),
+                           dtype=jnp.float64)
+    draws = np.asarray(res.draws)  # [N, C, D]
+    flat = draws.reshape(-1, 20)
+    se = 1.0 / np.sqrt(diag.ess_bulk(res.draws).min())
+    assert np.abs(flat.mean(0)).max() < 5 * max(float(se), 0.02), flat.mean(0)
+    np.testing.assert_allclose(flat.var(0), 1.0, atol=0.15)
+    acc = np.asarray(res.stats.acceptance_rate).mean()
+    assert 0.6 < acc < 0.99, acc
+    # adapted diagonal metric must be ~ posterior variance (all ones)
+    np.testing.assert_allclose(np.asarray(res.warmup_state.metric.inv), 1.0, atol=0.35)
+
+
+def test_ill_conditioned_gaussian_metric_adaptation():
+    """Diag metric adaptation must equalize scales spanning 4 orders."""
+    from inplacedhmc_tpu.models import diag_normal
+    variances = np.array([100.0, 1.0, 0.01, 10.0, 0.1])
+    model = diag_normal(variances)
+    res = mcmc_with_warmup(jax.random.PRNGKey(1), model, n_draws=600,
+                           n_chains=8, warmup_stages=short_stages(),
+                           dtype=jnp.float64)
+    inv = np.asarray(res.warmup_state.metric.inv)
+    np.testing.assert_allclose(inv, variances, rtol=0.5)
+    flat = np.asarray(res.draws).reshape(-1, 5)
+    np.testing.assert_allclose(flat.var(0), variances, rtol=0.35)
+
+
+def test_dense_metric_on_correlated_gaussian():
+    """BASELINE config 3 capability (dense / Symmetric metric path)."""
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(6, 6)) * 0.5
+    cov = a @ a.T + 0.2 * np.eye(6)
+    model = mvn(cov)
+    res = mcmc_with_warmup(jax.random.PRNGKey(2), model, n_draws=800,
+                           n_chains=8, warmup_stages=short_stages(metric="dense"),
+                           dtype=jnp.float64)
+    # adapted dense inverse mass must approximate the covariance
+    inv = np.asarray(res.warmup_state.metric.inv)
+    assert inv.shape == (6, 6)
+    np.testing.assert_allclose(inv, cov, atol=0.4 * np.abs(cov).max())
+    flat = np.asarray(res.draws).reshape(-1, 6)
+    emp = np.cov(flat.T)
+    np.testing.assert_allclose(emp, cov, atol=0.35 * np.abs(cov).max())
+
+
+def test_funnel_adapts_down_and_reports_divergences():
+    """BASELINE config 2: the funnel forces small eps; divergences are
+    reported, not fatal (kinetic_energy.jl:80-84 semantics).
+
+    Local optimization is disabled: the funnel's density mode sits at
+    v = -4.5*(dim-1), deep in the pathological neck, so mode-finding is
+    counterproductive — the reference supports exactly this configuration
+    (``local_optimization = nothing``, mcmc.jl:77-80)."""
+    model = funnel(8)
+    stages = default_warmup_stages(
+        local_optimization=None,
+        stepsize_adaptation=DualAveraging(delta=0.9),
+        init_steps=40, middle_steps=25, doubling_stages=3, terminating_steps=25)
+    res = mcmc_with_warmup(jax.random.PRNGKey(3), model, n_draws=400,
+                           n_chains=16, warmup_stages=stages,
+                           dtype=jnp.float64)
+    eps = float(np.exp(np.asarray(res.warmup_state.log_eps)).mean())
+    assert eps < 0.6, eps  # must adapt well below the O(1) initial guess
+    assert np.all(np.isfinite(np.asarray(res.draws)))
+    # v scale ~ N(0,9): check spread at least partially explored
+    v = np.asarray(res.draws)[..., 0].ravel()
+    assert v.std() > 1.5, v.std()
+
+
+def test_eight_schools_pooled_chains_rhat():
+    """BASELINE config 4 (shrunk): vmapped chains, pooled adaptation,
+    R-hat < 1.05 and reasonable tau posterior."""
+    model = eight_schools()
+    res = mcmc_with_warmup(jax.random.PRNGKey(4), model, n_draws=500,
+                           n_chains=32, warmup_stages=short_stages(),
+                           dtype=jnp.float64)
+    rhat = np.asarray(diag.split_rhat(res.draws))
+    assert rhat.max() < 1.05, rhat
+    post = model.constrain(res.draws)
+    mu = np.asarray(post["mu"]).ravel()
+    assert 2.0 < mu.mean() < 14.0, mu.mean()  # classic mu posterior ~ 8
+
+
+def test_threaded_mcmc_independent_adaptation():
+    """The reference's per-chain adaptation path (mcmc.jl:130-159): each chain
+    gets its own eps and metric ([C] / [C, D] shapes)."""
+    model = std_normal(5)
+    res = threaded_mcmc(jax.random.PRNGKey(5), model, n_draws=200, n_chains=4,
+                        warmup_stages=short_stages(), dtype=jnp.float64)
+    assert np.asarray(res.warmup_state.log_eps).shape == (4,)
+    assert np.asarray(res.warmup_state.metric.inv).shape == (4, 5)
+    flat = np.asarray(res.draws).reshape(-1, 5)
+    np.testing.assert_allclose(flat.var(0), 1.0, atol=0.25)
+
+
+def test_fixed_stepsize_warmup():
+    """fixed_stepsize_warmup_stages requires eps in init (warmup.jl:383-389)."""
+    from inplacedhmc_tpu.config import fixed_stepsize_warmup_stages
+    model = std_normal(5)
+    stages = fixed_stepsize_warmup_stages(middle_steps=25, doubling_stages=2)
+    res = mcmc_with_warmup(jax.random.PRNGKey(6), model, n_draws=200,
+                           n_chains=4, warmup_stages=stages, eps=0.7,
+                           dtype=jnp.float64)
+    np.testing.assert_allclose(np.exp(np.asarray(res.warmup_state.log_eps)), 0.7)
+    flat = np.asarray(res.draws).reshape(-1, 5)
+    np.testing.assert_allclose(flat.var(0), 1.0, atol=0.3)
+
+
+def test_warmup_stats_collected():
+    model = std_normal(3)
+    res = mcmc_with_warmup(jax.random.PRNGKey(7), model, n_draws=50, n_chains=2,
+                           warmup_stages=short_stages(), dtype=jnp.float64)
+    # short_stages: 40 + 25 + 50 + 100 + 25 tuning transitions
+    assert np.asarray(res.warmup_stats.acceptance_rate).shape[0] == 240
