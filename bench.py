@@ -26,13 +26,21 @@ def bench_leapfrog_steps_per_sec(n_chains=10_240, dim=100, n_transitions=16,
     metric = ih.identity_metric(dim, dtype)
     eps = jnp.asarray(0.25, dtype)
 
+    # fused Pallas leapfrog path on TPU backends (ops/leapfrog_pallas.py)
+    step_fn = None
+    if jax.default_backend() not in ("cpu", "gpu"):
+        from inplacedhmc_tpu.ops.leapfrog_pallas import make_fused_gaussian_leapfrog
+        fused = make_fused_gaussian_leapfrog(model.structure["precision"], metric.inv)
+        step_fn = lambda q, p, g, lp, e: fused(q, p, e)
+
     @jax.jit
     def block(key, q):
         z = ih.evaluate(pot, q)
 
         def step(carry, k):
             z, total = carry
-            z2, stats = ih.nuts_transition(k, pot, metric, z, eps, max_depth=10)
+            z2, stats = ih.nuts_transition(k, pot, metric, z, eps, max_depth=10,
+                                           step_fn=step_fn)
             return (z2, total + jnp.sum(stats.steps.astype(jnp.int64))), None
 
         keys = jax.random.split(key, n_transitions)
@@ -43,11 +51,11 @@ def bench_leapfrog_steps_per_sec(n_chains=10_240, dim=100, n_transitions=16,
     q0 = jax.random.normal(key, (n_chains, dim), dtype)
     # warm-up compile
     q1, total = block(jax.random.PRNGKey(1), q0)
-    q1.block_until_ready()
+    int(total)
     t0 = time.perf_counter()
     q2, total = block(jax.random.PRNGKey(2), q1)
     total = int(total)
-    q2.block_until_ready()
+    float(jnp.sum(q2))  # value fetch: reliable fence on the TPU tunnel
     dt = time.perf_counter() - t0
     return total / dt, total, dt
 
@@ -78,12 +86,12 @@ def bench_logistic_ess_per_sec(n_chains=512, n_obs=10_000, n_feat=50,
     state, _ = kern.warmup(k_warm, state, stages)
     fn = kern._sampling_fn(n_draws)
     out = fn(k_sample, state)
-    out.draws.block_until_ready()
+    float(jnp.sum(out.draws))  # value fetch: the only reliable fence on the TPU tunnel
     warm_plus_sample_s = time.perf_counter() - t0
     # timed sampling-only pass (steady state)
     t1 = time.perf_counter()
     out2 = fn(jax.random.PRNGKey(9), state._replace(z=out.z))
-    out2.draws.block_until_ready()
+    float(jnp.sum(out2.draws))
     sample_s = time.perf_counter() - t1
     ess = diag.ess_bulk(out2.draws)
     ess_min = float(jnp.min(ess))

@@ -1,0 +1,138 @@
+"""Fused Pallas value+gradient kernel for Bayesian logistic regression.
+
+The flagship MXU kernel (SURVEY.md §7 step 6): for the logistic model the
+log-density and its gradient are
+
+    eta  = q @ X^T                      [C, N]   (MXU)
+    logp = sum_i w_i (y_i eta_i - log(1+e^eta_i)) - 0.5 s2 ||q||^2
+    grad = (w*(y - sigmoid(eta))) @ X - s2 q     (MXU)
+
+Under plain autodiff XLA materializes ``eta`` (and the sigmoid residual) in
+HBM between the forward and backward matmuls — two+ round trips of a [C, N]
+array.  This kernel streams X/y tiles through VMEM once per chain-tile and
+accumulates ``logp`` and ``grad`` on-chip, flash-attention style: the [C, N]
+intermediate never exists.
+
+Grid: ``(C/BC, N/BN)``; the output blocks depend only on the chain tile, so
+Pallas keeps them resident in VMEM while the N axis streams (revisiting
+pattern).  Observation rows are masked with a 0/1 weight vector so padding to
+tile multiples contributes nothing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel(q_ref, x_ref, yw_ref, s2_ref, logp_ref, grad_ref):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        logp_ref[:] = jnp.zeros_like(logp_ref)
+        grad_ref[:] = jnp.zeros_like(grad_ref)
+
+    q = q_ref[:]                     # [BC, D]
+    x = x_ref[:]                     # [BN, D]
+    y = yw_ref[0, :]                 # [BN]
+    w = yw_ref[1, :]                 # [BN]
+
+    eta = jax.lax.dot_general(q, x, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [BC, BN]
+    # log(1 + e^eta) computed stably: max(eta,0) + log1p(exp(-|eta|))
+    ll = y[None, :] * eta - (jnp.maximum(eta, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(eta))))
+    logp_ref[:] += jnp.sum(ll * w[None, :], axis=1, keepdims=True)
+
+    resid = (y[None, :] - jax.nn.sigmoid(eta)) * w[None, :]        # [BC, BN]
+    grad_ref[:] += jax.lax.dot_general(resid, x, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _prior():
+        s2 = s2_ref[0, 0]
+        logp_ref[:] += -0.5 * s2 * jnp.sum(q * q, axis=1, keepdims=True)
+        grad_ref[:] += -s2 * q
+
+
+@functools.partial(jax.jit, static_argnames=("block_c", "block_n", "interpret"))
+def _logistic_value_and_grad_padded(q, x, yw, s2, block_c: int, block_n: int,
+                                    interpret: bool = False):
+    cpad, dpad = q.shape
+    npad = x.shape[0]
+    grid = (cpad // block_c, npad // block_n)
+    logp, grad = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_c, dpad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, dpad), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_c, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_c, dpad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cpad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((cpad, dpad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * cpad * npad * dpad,
+            bytes_accessed=4 * (cpad * dpad * 2 + grid[0] * npad * dpad),
+            transcendentals=2 * cpad * npad,
+        ),
+        interpret=interpret,
+    )(q, x, yw, s2)
+    return logp[:, 0], grad
+
+
+def make_logistic_potential(x, y, inv_var: float,
+                            block_c: int = 256, block_n: int = 512,
+                            interpret: bool = False):
+    """Build a batched ``q [C, D] -> (logp [C], grad [C, D])`` potential using
+    the fused kernel.  Data is padded once at build time; chains are padded
+    per call.  Set ``interpret=True`` for CPU testing."""
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    n, d = x.shape
+    dpad = _round_up(d, 128)
+    npad = _round_up(n, block_n)
+    x_p = jnp.zeros((npad, dpad), jnp.float32).at[:n, :d].set(x)
+    yw = jnp.zeros((2, npad), jnp.float32)
+    yw = yw.at[0, :n].set(y).at[1, :n].set(1.0)
+    s2 = jnp.asarray([[inv_var]], jnp.float32)
+
+    def potential(q):
+        c, dq = q.shape
+        assert dq == d, f"dim mismatch: {dq} != {d}"
+        cpad = _round_up(max(c, 8), block_c) if c >= block_c else _round_up(c, 8)
+        bc = min(block_c, cpad)
+        q_p = jnp.zeros((cpad, dpad), jnp.float32).at[:c, :d].set(
+            q.astype(jnp.float32))
+        logp, grad = _logistic_value_and_grad_padded(q_p, x_p, yw, s2, bc,
+                                                     block_n, interpret)
+        logp = logp[:c]
+        grad = grad[:c, :d]
+        ok = jnp.isfinite(logp)
+        logp = jnp.where(ok, logp, -jnp.inf)
+        grad = jnp.where(ok[:, None] & jnp.isfinite(grad), grad, 0.0)
+        return logp.astype(q.dtype), grad.astype(q.dtype)
+
+    return potential

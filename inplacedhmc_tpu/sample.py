@@ -52,16 +52,52 @@ class NUTSKernel:
 
     Reusable across calls: jitted stage functions are cached on this object,
     so the second ``run`` with the same shapes costs no compilation.
+
+    ``use_pallas``: ``"auto"`` (fused Pallas kernels on TPU backends when the
+    model declares a matching ``structure``), ``"on"``, ``"off"``, or
+    ``"interpret"`` (Pallas interpreter mode, for CPU testing).  The fused
+    paths are algebraically identical to the jnp reference path (A/B-tested
+    in tests/test_pallas.py).
     """
 
     def __init__(self, model: Model, algorithm: NUTS = NUTS(),
-                 pooled: bool = True, axis_name: Optional[str] = None):
+                 pooled: bool = True, axis_name: Optional[str] = None,
+                 use_pallas: str = "auto"):
         self.model = model
         self.algorithm = algorithm
         self.pooled = pooled
         self.axis_name = axis_name
-        self.potential = batched_logdensity_and_grad(model.logp)
         self._jit_cache: dict = {}
+
+        if use_pallas == "auto":
+            on_tpu = jax.default_backend() not in ("cpu", "gpu")
+            use_pallas = "on" if on_tpu else "off"
+        self.use_pallas = use_pallas
+        interp = use_pallas == "interpret"
+        st = model.structure
+
+        self.potential = batched_logdensity_and_grad(model.logp)
+        self.step_factory = None
+        if use_pallas in ("on", "interpret") and st is not None:
+            if st.get("kind") == "logistic":
+                from .ops.logistic_pallas import make_logistic_potential
+                self.potential = make_logistic_potential(
+                    st["x"], st["y"], st["inv_var"], interpret=interp)
+            elif st.get("kind") == "diag_gaussian":
+                from .core.metric import DiagMetric
+                from .ops.leapfrog_pallas import make_fused_gaussian_leapfrog
+                prec = st["precision"]
+
+                def factory(metric):
+                    if (isinstance(metric, DiagMetric)
+                            and metric.inv.ndim == 1
+                            and metric.inv.dtype == jnp.float32):
+                        fused = make_fused_gaussian_leapfrog(
+                            prec, metric.inv, interpret=interp)
+                        return lambda q, p, g, lp, e: fused(q, p, e)
+                    return None
+
+                self.step_factory = factory
 
     # -- jitted stage builders ------------------------------------------------
 
@@ -70,7 +106,8 @@ class NUTSKernel:
         if key not in self._jit_cache:
             f = functools.partial(W.run_tuning, potential=self.potential,
                                   stage=stage, algorithm=self.algorithm,
-                                  pooled=self.pooled, axis_name=self.axis_name)
+                                  pooled=self.pooled, axis_name=self.axis_name,
+                                  step_factory=self.step_factory)
             self._jit_cache[key] = jax.jit(
                 lambda k, state: f(k, state=state), donate_argnums=(1,))
         return self._jit_cache[key]
@@ -88,7 +125,8 @@ class NUTSKernel:
         key = ("sampling", n_draws)
         if key not in self._jit_cache:
             f = functools.partial(W.run_sampling, potential=self.potential,
-                                  algorithm=self.algorithm, n_draws=n_draws)
+                                  algorithm=self.algorithm, n_draws=n_draws,
+                                  step_factory=self.step_factory)
             self._jit_cache[key] = jax.jit(
                 lambda k, state: f(k, state=state))
         return self._jit_cache[key]

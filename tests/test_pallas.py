@@ -1,0 +1,123 @@
+"""A/B correctness of the fused Pallas kernels (interpreter mode on CPU).
+
+The fused paths must be algebraically identical to the jnp reference
+implementations — same trees, same proposals, same statistics (f32 tolerance).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inplacedhmc_tpu.core.hamiltonian import batched_logdensity_and_grad
+from inplacedhmc_tpu.core.metric import diag_metric, kinetic_energy, psharp
+from inplacedhmc_tpu.core.state import EvalPoint, PhasePoint
+from inplacedhmc_tpu.models.gaussian import diag_normal
+from inplacedhmc_tpu.models.logistic import logistic_regression, synthetic_data
+from inplacedhmc_tpu.nuts.tree import nuts_transition
+from inplacedhmc_tpu.ops.integrator import leapfrog
+from inplacedhmc_tpu.ops.leapfrog_pallas import make_fused_gaussian_leapfrog
+from inplacedhmc_tpu.ops.logistic_pallas import make_logistic_potential
+
+
+def test_logistic_kernel_matches_autodiff():
+    key = jax.random.PRNGKey(0)
+    x, y, _ = synthetic_data(key, n_obs=700, n_features=23, dtype=jnp.float32)
+    model = logistic_regression(x, y)
+    pot_ref = batched_logdensity_and_grad(model.logp)
+    pot_pallas = make_logistic_potential(x, y, model.structure["inv_var"],
+                                         block_c=64, block_n=256, interpret=True)
+    q = jax.random.normal(jax.random.PRNGKey(1), (40, 23), jnp.float32) * 0.3
+    lp_ref, g_ref = pot_ref(q)
+    lp_p, g_p = pot_pallas(q)
+    np.testing.assert_allclose(np.asarray(lp_p), np.asarray(lp_ref),
+                               rtol=2e-5, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_gaussian_leapfrog_matches_reference():
+    d, c = 37, 24
+    rng = np.random.default_rng(0)
+    prec = jnp.asarray(rng.gamma(2.0, size=d) + 0.2, jnp.float32)
+    minv = jnp.asarray(rng.gamma(2.0, size=d) + 0.3, jnp.float32)
+    model = diag_normal(1.0 / prec)
+    pot = batched_logdensity_and_grad(model.logp)
+    metric = diag_metric(minv)
+
+    q = jnp.asarray(rng.normal(size=(c, d)), jnp.float32)
+    p = jnp.asarray(rng.normal(size=(c, d)), jnp.float32)
+    eps = jnp.asarray(rng.uniform(0.05, 0.4, size=c) *
+                      rng.choice([-1, 1], size=c), jnp.float32)
+
+    lp0, g0 = pot(q)
+    z_ref = leapfrog(pot, metric, PhasePoint(Q=EvalPoint(q, lp0, g0), p=p), eps)
+
+    fused = make_fused_gaussian_leapfrog(prec, minv, block_c=8, interpret=True)
+    qn, pn, gn, lpn, kin, ps = fused(q, p, eps)
+
+    np.testing.assert_allclose(np.asarray(qn), np.asarray(z_ref.Q.q), rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(pn), np.asarray(z_ref.p), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gn), np.asarray(z_ref.Q.grad), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lpn), np.asarray(z_ref.Q.logp), rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(kin), np.asarray(kinetic_energy(metric, z_ref.p)),
+                               rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ps), np.asarray(psharp(metric, z_ref.p)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_full_transition_ab_fused_vs_reference():
+    """Same keys, same directions, same momentum: the fused-step tree must
+    produce the same trajectories and statistics as the jnp-step tree."""
+    d, c = 16, 12
+    rng = np.random.default_rng(2)
+    prec = jnp.asarray(rng.gamma(2.0, size=d) + 0.5, jnp.float32)
+    minv = jnp.asarray(np.ones(d), jnp.float32)
+    model = diag_normal(1.0 / prec)
+    pot = batched_logdensity_and_grad(model.logp)
+    metric = diag_metric(minv)
+
+    q = jnp.asarray(rng.normal(size=(c, d)), jnp.float32)
+    p = jnp.asarray(rng.normal(size=(c, d)), jnp.float32)
+    dirs = jnp.asarray(rng.integers(0, 2**32, size=c, dtype=np.uint32))
+    lp0, g0 = pot(q)
+    z0 = EvalPoint(q=q, logp=lp0, grad=g0)
+    eps = jnp.asarray(0.25, jnp.float32)
+
+    fused = make_fused_gaussian_leapfrog(prec, minv, block_c=8, interpret=True)
+    step_fn = lambda qq, pp, gg, ll, ee: fused(qq, pp, ee)
+
+    key = jax.random.PRNGKey(5)
+    z_ref, st_ref = nuts_transition(key, pot, metric, z0, eps, max_depth=6,
+                                    directions=dirs, momentum=p)
+    z_fus, st_fus = nuts_transition(key, pot, metric, z0, eps, max_depth=6,
+                                    directions=dirs, momentum=p, step_fn=step_fn)
+
+    np.testing.assert_array_equal(np.asarray(st_fus.termination),
+                                  np.asarray(st_ref.termination))
+    np.testing.assert_array_equal(np.asarray(st_fus.depth), np.asarray(st_ref.depth))
+    np.testing.assert_array_equal(np.asarray(st_fus.steps), np.asarray(st_ref.steps))
+    np.testing.assert_allclose(np.asarray(st_fus.acceptance_rate),
+                               np.asarray(st_ref.acceptance_rate), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(z_fus.q), np.asarray(z_ref.q),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sampler_with_interpret_pallas_end_to_end():
+    """Full mcmc_with_warmup with use_pallas='interpret' on the diag-gaussian
+    fused path: posterior must still be correct."""
+    from inplacedhmc_tpu.config import default_warmup_stages
+    from inplacedhmc_tpu.sample import NUTSKernel
+    from inplacedhmc_tpu.config import NUTS as NUTSConfig
+
+    variances = np.array([4.0, 1.0, 0.25, 1.0], np.float32)
+    model = diag_normal(variances)
+    kern = NUTSKernel(model, NUTSConfig(), pooled=True, use_pallas="interpret")
+    assert kern.step_factory is not None
+    stages = default_warmup_stages(init_steps=30, middle_steps=25,
+                                   doubling_stages=2, terminating_steps=20)
+    res = kern.run(jax.random.PRNGKey(0), n_draws=400, n_chains=16,
+                   warmup_stages=stages, dtype=jnp.float32)
+    flat = np.asarray(res.draws).reshape(-1, 4)
+    np.testing.assert_allclose(flat.var(0), variances, rtol=0.3)
+    np.testing.assert_allclose(flat.mean(0), 0.0, atol=0.25)
