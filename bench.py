@@ -52,6 +52,7 @@ def bench_leapfrog_steps_per_sec(n_chains=10_240, dim=100, n_transitions=16,
     # warm-up compile
     q1, total = block(jax.random.PRNGKey(1), q0)
     int(total)
+    float(jnp.sum(q1))  # pre-compile the eager sync op outside the timed region
     t0 = time.perf_counter()
     q2, total = block(jax.random.PRNGKey(2), q1)
     total = int(total)

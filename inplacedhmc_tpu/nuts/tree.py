@@ -93,7 +93,6 @@ class _Inner(NamedTuple):
     key: jnp.ndarray
     alive: jnp.ndarray          # [C] active and subtree still valid
     cur: _Leaf                  # integration frontier
-    psharp_last: jnp.ndarray    # [C, D] p♯ of the newest leaf
     s_cum: jnp.ndarray          # [C, D] momentum sum over subtree leaves so far
     ckpt_s: jnp.ndarray         # [C, MD+1, D] left-edge momentum-sum checkpoints
     ckpt_psharp: jnp.ndarray    # [C, MD+1, D] left-edge p♯ checkpoints
@@ -236,7 +235,6 @@ def nuts_transition(
             key=k_inner,
             alive=s.active,
             cur=cur0,
-            psharp_last=jnp.where(is_fwd[:, None], s.psharp_right, s.psharp_left),
             s_cum=jnp.zeros((c, dim), dtype),
             ckpt_s=s.ckpt_s, ckpt_psharp=s.ckpt_psharp,
             sub_prop=s.prop,
@@ -335,7 +333,6 @@ def nuts_transition(
                 key=k_next,
                 alive=jnp.logical_and(mask, ~died),
                 cur=tree_where(mask, leaf, t.cur),
-                psharp_last=bcast_where(mask, psharp_new, t.psharp_last),
                 s_cum=s_cum,
                 ckpt_s=ckpt_s, ckpt_psharp=ckpt_psharp,
                 sub_prop=sub_prop, omega_sub=omega_sub,
@@ -356,14 +353,17 @@ def nuts_transition(
         prop = tree_where(take2, t.sub_prop, s.prop)
         omega = jnp.where(m, jnp.logaddexp(s.omega, t.omega_sub), s.omega)
 
-        # extend trajectory endpoints in the build direction
+        # extend trajectory endpoints in the build direction; p♯ of the final
+        # leaf is recomputed here once per subtree instead of being carried
+        # through the hot loop
+        psharp_end = psharp(metric, t.cur.p)
         grow_r = jnp.logical_and(m, is_fwd)
         grow_l = jnp.logical_and(m, ~is_fwd)
         i_end = i_base + subtree_len * sign
         right = tree_where(grow_r, t.cur, s.right)
         left = tree_where(grow_l, t.cur, s.left)
-        psharp_right = bcast_where(grow_r, t.psharp_last, s.psharp_right)
-        psharp_left = bcast_where(grow_l, t.psharp_last, s.psharp_left)
+        psharp_right = bcast_where(grow_r, psharp_end, s.psharp_right)
+        psharp_left = bcast_where(grow_l, psharp_end, s.psharp_left)
         i_right = jnp.where(grow_r, i_end, s.i_right)
         i_left = jnp.where(grow_l, i_end, s.i_left)
 
