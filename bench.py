@@ -26,12 +26,12 @@ def bench_leapfrog_steps_per_sec(n_chains=10_240, dim=100, n_transitions=16,
     metric = ih.identity_metric(dim, dtype)
     eps = jnp.asarray(0.25, dtype)
 
-    # fused Pallas leapfrog path on TPU backends (ops/leapfrog_pallas.py)
-    step_fn = None
+    # whole-transition Pallas tree kernel on TPU backends (ops/tree_pallas.py)
+    transition = None
     if jax.default_backend() not in ("cpu", "gpu"):
-        from inplacedhmc_tpu.ops.leapfrog_pallas import make_fused_gaussian_leapfrog
-        fused = make_fused_gaussian_leapfrog(model.structure["precision"], metric.inv)
-        step_fn = lambda q, p, g, lp, e: fused(q, p, e)
+        from inplacedhmc_tpu.ops.tree_pallas import make_gaussian_tree_transition
+        transition = make_gaussian_tree_transition(
+            model.structure["precision"], metric.inv, max_depth=10)
 
     @jax.jit
     def block(key, q):
@@ -39,8 +39,10 @@ def bench_leapfrog_steps_per_sec(n_chains=10_240, dim=100, n_transitions=16,
 
         def step(carry, k):
             z, total = carry
-            z2, stats = ih.nuts_transition(k, pot, metric, z, eps, max_depth=10,
-                                           step_fn=step_fn)
+            if transition is not None:
+                z2, stats = transition(k, z, eps)
+            else:
+                z2, stats = ih.nuts_transition(k, pot, metric, z, eps, max_depth=10)
             return (z2, total + jnp.sum(stats.steps.astype(jnp.int64))), None
 
         keys = jax.random.split(key, n_transitions)

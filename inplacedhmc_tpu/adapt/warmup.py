@@ -137,7 +137,8 @@ class TuningResult(NamedTuple):
 def run_tuning(key, potential: Callable, stage: TuningNUTS, algorithm: NUTS,
                state: WarmupState, pooled: bool = False,
                axis_name: Optional[str] = None,
-               step_factory: Optional[Callable] = None) -> TuningResult:
+               step_factory: Optional[Callable] = None,
+               transition_factory: Optional[Callable] = None) -> TuningResult:
     """One tuning window (``warmup.jl:269-314``): N NUTS transitions with
     per-step dual averaging, then an optional metric re-estimate from the
     window's draws."""
@@ -150,14 +151,19 @@ def run_tuning(key, potential: Callable, stage: TuningNUTS, algorithm: NUTS,
     da = da_init(stage.stepsize_adaptation, eps0) if adapting else None
     keys = jax.random.split(key, n)
     fused_step = step_factory(state.metric) if step_factory is not None else None
+    fused_trans = (transition_factory(state.metric)
+                   if transition_factory is not None else None)
 
     def step(carry, k):
         z, da = carry
         eps = da_current_eps(da) if adapting else eps0
-        z2, stats = nuts_transition(k, potential, state.metric, z, eps,
-                                    max_depth=algorithm.max_depth,
-                                    min_delta=algorithm.min_delta,
-                                    step_fn=fused_step)
+        if fused_trans is not None:
+            z2, stats = fused_trans(k, z, eps)
+        else:
+            z2, stats = nuts_transition(k, potential, state.metric, z, eps,
+                                        max_depth=algorithm.max_depth,
+                                        min_delta=algorithm.min_delta,
+                                        step_fn=fused_step)
         if adapting:
             a = stats.acceptance_rate
             if pooled:
@@ -194,18 +200,24 @@ class SamplingResult(NamedTuple):
 
 def run_sampling(key, potential: Callable, algorithm: NUTS, state: WarmupState,
                  n_draws: int,
-                 step_factory: Optional[Callable] = None) -> SamplingResult:
+                 step_factory: Optional[Callable] = None,
+                 transition_factory: Optional[Callable] = None) -> SamplingResult:
     """The post-warmup loop ``mcmc!`` (``warmup.jl:316-332``): fixed eps and
     metric, collect positions and tree statistics."""
     eps = jnp.exp(state.log_eps)
     keys = jax.random.split(key, n_draws)
     fused_step = step_factory(state.metric) if step_factory is not None else None
+    fused_trans = (transition_factory(state.metric)
+                   if transition_factory is not None else None)
 
     def step(z, k):
-        z2, stats = nuts_transition(k, potential, state.metric, z, eps,
-                                    max_depth=algorithm.max_depth,
-                                    min_delta=algorithm.min_delta,
-                                    step_fn=fused_step)
+        if fused_trans is not None:
+            z2, stats = fused_trans(k, z, eps)
+        else:
+            z2, stats = nuts_transition(k, potential, state.metric, z, eps,
+                                        max_depth=algorithm.max_depth,
+                                        min_delta=algorithm.min_delta,
+                                        step_fn=fused_step)
         return z2, (z2.q, stats)
 
     z, (qs, stats) = lax.scan(step, state.z, keys)

@@ -131,6 +131,12 @@ class _Outer(NamedTuple):
     steps: jnp.ndarray
 
 
+# Levels of the within-subtree U-turn check executed branch-free every leaf
+# (masked); deeper levels fall back to lax.cond.  See the comment at the check
+# site for the cost model.
+_STATIC_CHECK_LEVELS = 5
+
+
 def _chain_dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
@@ -287,24 +293,41 @@ def nuts_transition(
             t_ones = trailing_ones(n)
             idx_max = checkpoint_slot(n)
 
-            def check_node(m, acc):
+            # Nested control flow (while_loop or a taken lax.cond) costs
+            # ~300us per instance in this inner loop on TPU, so the common
+            # check levels (k <= _STATIC_CHECK_LEVELS, covering all leaves
+            # with trailing_ones <= 4, i.e. 31/32 of leaves) run
+            # *unconditionally* with a validity mask — two extra [C, D] slice
+            # reads per level are far cheaper than a branch.  Deeper levels
+            # (needed on <= 1/2^5 of leaves) use a cond chain whose amortized
+            # cost is negligible.  Check order is innermost-first, matching
+            # the reference's post-order recursion.
+            def run_check(m, acc):
                 turning, first_left = acc
-                j = idx_max - m                      # k = m + 1
+                valid = m < t_ones
+                j = jnp.maximum(idx_max - m, 0)      # k = m + 1
                 rho_node = s_cum - lax.dynamic_index_in_dim(
                     ckpt_s, j, axis=1, keepdims=False)
                 ps_l = lax.dynamic_index_in_dim(
                     ckpt_psharp, j, axis=1, keepdims=False)
-                turn = jnp.logical_or(_chain_dot(rho_node, ps_l) < 0,
-                                      _chain_dot(rho_node, psharp_new) < 0)
-                node_size = jnp.left_shift(jnp.asarray(1, jnp.int32), m + 1)
-                l_pos = i_base + (n - node_size + 2) * sign
+                turn = jnp.logical_and(
+                    valid,
+                    jnp.logical_or(_chain_dot(rho_node, ps_l) < 0,
+                                   _chain_dot(rho_node, psharp_new) < 0))
+                l_pos = i_base + (n - (1 << (m + 1)) + 2) * sign
                 first_left = jnp.where(jnp.logical_and(turn, ~turning),
                                        l_pos, first_left)
                 return jnp.logical_or(turning, turn), first_left
 
-            turning_sub, turn_left_pos = lax.fori_loop(
-                0, t_ones, check_node,
-                (jnp.zeros((c,), bool), jnp.zeros((c,), jnp.int32)))
+            acc = (jnp.zeros((c,), bool), jnp.zeros((c,), jnp.int32))
+            n_static = min(_STATIC_CHECK_LEVELS, md)
+            for m_level in range(n_static):
+                acc = run_check(m_level, acc)
+            for m_level in range(n_static, md):
+                acc = lax.cond(m_level < t_ones,
+                               lambda a, m=m_level: run_check(m, a),
+                               lambda a: a, acc)
+            turning_sub, turn_left_pos = acc
             turning_sub = jnp.logical_and(turning_sub, ~divergent)
 
             # -- progressive within-subtree proposal (unbiased multinomial) --

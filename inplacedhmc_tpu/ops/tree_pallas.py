@@ -1,0 +1,460 @@
+"""Whole-transition Pallas NUTS kernel for diagonal-Gaussian-gradient targets.
+
+The speed-of-light formulation of the flagship benchmark (BASELINE: leapfrog
+steps/sec at 10k chains): the **entire NUTS transition** — momentum-refresh
+energies, the doubling loop, leapfrog steps, checkpoint-stack U-turn checks,
+progressive proposals, divergence handling, and tree statistics — runs inside
+one ``pallas_call``.  Each grid program owns a tile of chains whose whole tree
+state lives in VMEM; HBM is touched exactly twice (inputs in, outputs out).
+
+Motivation (measured on v5e): the XLA ``lax.while_loop`` tree pays hundreds of
+microseconds of fused-kernel-launch / nested-control-flow overhead per
+lockstep leaf iteration, ~20x the leapfrog's own arithmetic.  Mosaic loops are
+real hardware loops, so the per-leaf cost here is VPU arithmetic only.
+
+Mosaic-imposed structure: the doubling loop is **statically unrolled** (one
+block per depth ``d``, predicated with ``pl.when`` so finished tiles skip the
+work), the within-subtree leaf loop is a static-bound ``fori_loop`` of
+``2^d`` iterations, and all per-chain state lives in VMEM scratch refs — the
+within-subtree U-turn check at depth ``d`` unrolls at most ``d`` levels.
+
+Scope: models with ``grad = -Lambda * q`` (the standard/diagonal normal
+benchmark family), diagonal metric, float32.  Semantics are identical to
+``nuts/tree.py`` (same checkpoint-slot scheme, same biased/unbiased
+progressive combines, same termination records, validated leaf-for-leaf
+against the recursive oracle in ``tests/test_tree_pallas.py``); only the
+proposal-selection RNG differs (in-kernel TPU PRNG instead of threefry).
+
+Reference provenance: ``/root/reference/src/tree.jl:321-444`` (doubling loop),
+``NUTS.jl:18-264`` (instantiation) — the reference's entire zero-allocation
+machinery (arena + slab allocator + SIMD kernels) collapsed into one kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# float column indices in the colf [BC, 16] scratch
+OMEGA, OMEGA_SUB, PROP_DELTA, PROP_LOGP, SUB_DELTA, SUB_LOGP, LSA, SIGN, PI0, EPS = range(10)
+# int column indices in the coli [BC, 16] scratch
+I_LEFT, I_RIGHT, I_BASE, STEPS, TERM, TL, TR, DEPTH, ACTIVE, ALIVE, DIED_DIV, DIED_TURN, DIE_L, DIE_R, DIRS = range(15)
+
+
+def _uniform_from_bits(shape):
+    # prng_random_bits yields int32 bit patterns: bitcast before shifting, or
+    # the arithmetic shift sign-extends and half the uniforms go negative.
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # logical shift in uint32, then reinterpret as (non-negative) int32 —
+    # Mosaic supports int32 -> f32 casts but not uint32 -> f32
+    bits24 = pltpu.bitcast(jnp.right_shift(bits, jnp.uint32(8)), jnp.int32)
+    return bits24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
+                 term_max_depth: int, term_div: int, term_turn: int,
+                 use_prng: bool = True):
+    md1 = max_depth + 1
+
+    def _u(shape):
+        # interpret mode (CPU tests) has no TPU PRNG: fixed uniform — proposal
+        # *selection* becomes deterministic; every oracle-compared quantity is
+        # unaffected.
+        if use_prng:
+            return _uniform_from_bits(shape)
+        return jnp.full(shape, 0.5, jnp.float32)
+
+    nbits = max(1, max_depth - 1)
+
+    def _popcount(x):
+        # scalar popcount via static bit unroll (Mosaic-safe: no table consts)
+        acc = jnp.asarray(0, jnp.int32)
+        for b in range(nbits):
+            acc = acc + jnp.bitwise_and(jnp.right_shift(x, b), 1)
+        return acc
+
+    def _trailing_ones(x):
+        y = jnp.bitwise_and(jnp.bitwise_not(x), x + 1) - 1
+        return _popcount(y)
+
+    def kernel(q0_ref, p0_ref, eps_ref, dirs_ref, seed_ref, lam_ref, minv_ref,
+               out_q, out_logp, out_grad, out_energy, out_lsa,
+               out_term, out_tl, out_tr, out_depth, out_steps,
+               left_q, left_p, left_g, right_q, right_p, right_g,
+               cur_q, cur_p, cur_g,
+               ps_l, ps_r, rho, s_cum,
+               prop_q, prop_g, sub_q, sub_g,
+               ckpt_s, ckpt_ps, colf, coli):
+        i = pl.program_id(0)
+        if use_prng:
+            pltpu.prng_seed(seed_ref[0] + i)
+
+        lam = lam_ref[0:1, :]
+        minv = minv_ref[0:1, :]
+        q0 = q0_ref[:]
+        p0 = p0_ref[:]
+
+        logp0 = -0.5 * jnp.sum(lam * q0 * q0, axis=1, keepdims=True)
+        kin0 = 0.5 * jnp.sum(minv * p0 * p0, axis=1, keepdims=True)
+        pi0 = logp0 - kin0
+        g0 = -(lam * q0)
+        ps0 = minv * p0
+        neg_inf = jnp.float32(-jnp.inf)
+        zf = jnp.zeros((bc, 1), jnp.float32)
+        zi = jnp.zeros((bc, 1), jnp.int32)
+        onei = jnp.ones((bc, 1), jnp.int32)
+
+        # trajectory init: the single initial leaf
+        left_q[:] = q0; left_p[:] = p0; left_g[:] = g0
+        right_q[:] = q0; right_p[:] = p0; right_g[:] = g0
+        ps_l[:] = ps0; ps_r[:] = ps0
+        rho[:] = p0
+        prop_q[:] = q0; prop_g[:] = g0
+        sub_q[:] = q0; sub_g[:] = g0
+
+        def setf(idx, v):
+            colf[:, idx:idx + 1] = v
+
+        def getf(idx):
+            return colf[:, idx:idx + 1]
+
+        def seti(idx, v):
+            coli[:, idx:idx + 1] = v
+
+        def geti(idx):
+            return coli[:, idx:idx + 1]
+
+        setf(OMEGA, zf); setf(OMEGA_SUB, zf + neg_inf)
+        setf(PROP_DELTA, zf); setf(PROP_LOGP, logp0)
+        setf(SUB_DELTA, zf); setf(SUB_LOGP, logp0)
+        setf(LSA, zf + neg_inf); setf(SIGN, zf + 1.0)
+        setf(PI0, pi0); setf(EPS, eps_ref[:])
+        seti(I_LEFT, zi); seti(I_RIGHT, zi); seti(I_BASE, zi)
+        seti(STEPS, zi); seti(TERM, zi + term_max_depth)
+        seti(TL, onei); seti(TR, zi)  # REACHED_MAX_DEPTH sentinel (1, 0)
+        seti(DEPTH, zi)
+        seti(ACTIVE, onei); seti(ALIVE, onei)
+        seti(DIED_DIV, zi); seti(DIED_TURN, zi)
+        seti(DIE_L, zi); seti(DIE_R, zi)
+        seti(DIRS, dirs_ref[:])
+
+        def make_leaf_body(d_level):
+            """Leaf step for a depth-``d_level`` subtree (n in [0, 2^d))."""
+
+            def leaf_body(n, carry):
+                mask = geti(ALIVE) > 0
+                maskf = mask.astype(jnp.float32)
+                sign = getf(SIGN)
+                signi = sign.astype(jnp.int32)
+                eps_signed = sign * getf(EPS)
+
+                # leapfrog (kinetic_energy.jl:126-163 math)
+                q = cur_q[:]; p = cur_p[:]; g = cur_g[:]
+                half = 0.5 * eps_signed
+                p_mid = p + half * g
+                q_new = q + eps_signed * (minv * p_mid)
+                g_new = -(lam * q_new)
+                p_new = p_mid + half * g_new
+                ps_new = minv * p_new
+                logp_new = -0.5 * jnp.sum(lam * q_new * q_new, axis=1,
+                                          keepdims=True)
+                kin_new = 0.5 * jnp.sum(p_new * ps_new, axis=1, keepdims=True)
+                delta = (logp_new - kin_new) - getf(PI0)
+                delta = jnp.where(jnp.isnan(delta), neg_inf, delta)
+                divergent = delta < min_delta
+                i_new = geti(I_BASE) + (n + 1) * signi
+
+                # visited stats (NUTS.jl:58-86)
+                setf(LSA, jnp.where(mask,
+                                    jnp.logaddexp(getf(LSA),
+                                                  jnp.minimum(delta, 0.0)),
+                                    getf(LSA)))
+                seti(STEPS, geti(STEPS) + mask.astype(jnp.int32))
+
+                # checkpoint store: even leaves to slot popcount(n>>1), odd
+                # leaves to the dummy slot (branch-free)
+                if d_level == 0:
+                    slot = 0
+                else:
+                    slot = jnp.where(n % 2 == 0, _popcount(n >> 1),
+                                     jnp.asarray(max_depth, jnp.int32))
+                ckpt_s[:, pl.ds(slot, 1), :] = s_cum[:][:, None, :]
+                ckpt_ps[:, pl.ds(slot, 1), :] = ps_new[:, None, :]
+                s_cum[:] = s_cum[:] + maskf * p_new
+
+                # within-subtree U-turn checks, innermost-first; at subtree
+                # depth d only levels m < d can close
+                turning = jnp.zeros((bc, 1), jnp.bool_)
+                turn_pos = zi
+                sc = s_cum[:]
+                if d_level > 0:
+                    t_ones = _trailing_ones(n)
+                    idx_max = _popcount(n >> 1)
+                    for m in range(d_level):
+                        valid = m < t_ones
+                        j = jnp.maximum(idx_max - m, 0)
+                        rho_node = sc - ckpt_s[:, pl.ds(j, 1), :][:, 0, :]
+                        psl = ckpt_ps[:, pl.ds(j, 1), :][:, 0, :]
+                        t = jnp.logical_and(
+                            valid,
+                            jnp.logical_or(
+                                jnp.sum(rho_node * psl, axis=1,
+                                        keepdims=True) < 0,
+                                jnp.sum(rho_node * ps_new, axis=1,
+                                        keepdims=True) < 0))
+                        l_pos = geti(I_BASE) + (n - (1 << (m + 1)) + 2) * signi
+                        turn_pos = jnp.where(jnp.logical_and(t, ~turning),
+                                             l_pos, turn_pos)
+                        turning = jnp.logical_or(turning, t)
+                turning = jnp.logical_and(turning, ~divergent)
+
+                # progressive subtree proposal (unbiased multinomial)
+                omega_new = jnp.logaddexp(getf(OMEGA_SUB), delta)
+                u = _u((bc, 1))
+                take = jnp.log(u) < (delta - omega_new)
+                upd = jnp.logical_and(mask, ~divergent)
+                takeb = jnp.logical_and(upd, take)
+                takef = takeb.astype(jnp.float32)
+                sub_q[:] = takef * q_new + (1.0 - takef) * sub_q[:]
+                sub_g[:] = takef * g_new + (1.0 - takef) * sub_g[:]
+                setf(SUB_DELTA, jnp.where(takeb, delta, getf(SUB_DELTA)))
+                setf(SUB_LOGP, jnp.where(takeb, logp_new, getf(SUB_LOGP)))
+                setf(OMEGA_SUB, jnp.where(upd, omega_new, getf(OMEGA_SUB)))
+
+                # frontier + failure records
+                cur_q[:] = maskf * q_new + (1.0 - maskf) * q
+                cur_p[:] = maskf * p_new + (1.0 - maskf) * p
+                cur_g[:] = maskf * g_new + (1.0 - maskf) * g
+                died_div = jnp.logical_and(mask, divergent)
+                died_turn = jnp.logical_and(mask, turning)
+                died = jnp.logical_or(died_div, died_turn)
+                seti(DIE_L, jnp.where(died_div, i_new,
+                                      jnp.where(died_turn,
+                                                jnp.minimum(turn_pos, i_new),
+                                                geti(DIE_L))))
+                seti(DIE_R, jnp.where(died_div, i_new,
+                                      jnp.where(died_turn,
+                                                jnp.maximum(turn_pos, i_new),
+                                                geti(DIE_R))))
+                seti(DIED_DIV, geti(DIED_DIV) | died_div.astype(jnp.int32))
+                seti(DIED_TURN, geti(DIED_TURN) | died_turn.astype(jnp.int32))
+                seti(ALIVE, jnp.where(died, 0, geti(ALIVE)))
+                return 0
+
+            return leaf_body
+
+        def doubling_block(d):
+            # subtree setup (tree.jl:395-408)
+            dirs = geti(DIRS)
+            isf = jnp.bitwise_and(jnp.right_shift(dirs, d), 1) == 1
+            isff = isf.astype(jnp.float32)
+            sign = 2.0 * isff - 1.0
+            cur_q[:] = isff * right_q[:] + (1.0 - isff) * left_q[:]
+            cur_p[:] = isff * right_p[:] + (1.0 - isff) * left_p[:]
+            cur_g[:] = isff * right_g[:] + (1.0 - isff) * left_g[:]
+            s_cum[:] = jnp.zeros((bc, dpad), jnp.float32)
+            setf(SIGN, sign)
+            setf(OMEGA_SUB, jnp.full((bc, 1), neg_inf))
+            seti(I_BASE, jnp.where(isf, geti(I_RIGHT), geti(I_LEFT)))
+            seti(ALIVE, geti(ACTIVE))
+            seti(DIED_DIV, zi)
+            seti(DIED_TURN, zi)
+
+            if d == 0:
+                make_leaf_body(0)(0, 0)
+            else:
+                lax.fori_loop(0, 1 << d, make_leaf_body(d), 0)
+
+            # epilogue (tree.jl:416-438)
+            m = geti(ALIVE) > 0
+            mf = m.astype(jnp.float32)
+            u2 = _u((bc, 1))
+            take2 = jnp.logical_and(m, jnp.log(u2) < (getf(OMEGA_SUB) - getf(OMEGA)))
+            t2f = take2.astype(jnp.float32)
+            prop_q[:] = t2f * sub_q[:] + (1.0 - t2f) * prop_q[:]
+            prop_g[:] = t2f * sub_g[:] + (1.0 - t2f) * prop_g[:]
+            setf(PROP_DELTA, jnp.where(take2, getf(SUB_DELTA), getf(PROP_DELTA)))
+            setf(PROP_LOGP, jnp.where(take2, getf(SUB_LOGP), getf(PROP_LOGP)))
+            setf(OMEGA, jnp.where(m, jnp.logaddexp(getf(OMEGA), getf(OMEGA_SUB)),
+                                  getf(OMEGA)))
+
+            sign = getf(SIGN)
+            isf2 = sign > 0
+            ps_end = minv * cur_p[:]
+            grow_r = jnp.logical_and(m, isf2)
+            grow_l = jnp.logical_and(m, ~isf2)
+            grf = grow_r.astype(jnp.float32)
+            glf = grow_l.astype(jnp.float32)
+            i_end = geti(I_BASE) + (1 << d) * sign.astype(jnp.int32)
+            right_q[:] = grf * cur_q[:] + (1.0 - grf) * right_q[:]
+            right_p[:] = grf * cur_p[:] + (1.0 - grf) * right_p[:]
+            right_g[:] = grf * cur_g[:] + (1.0 - grf) * right_g[:]
+            left_q[:] = glf * cur_q[:] + (1.0 - glf) * left_q[:]
+            left_p[:] = glf * cur_p[:] + (1.0 - glf) * left_p[:]
+            left_g[:] = glf * cur_g[:] + (1.0 - glf) * left_g[:]
+            ps_r[:] = grf * ps_end + (1.0 - grf) * ps_r[:]
+            ps_l[:] = glf * ps_end + (1.0 - glf) * ps_l[:]
+            seti(I_RIGHT, jnp.where(grow_r, i_end, geti(I_RIGHT)))
+            seti(I_LEFT, jnp.where(grow_l, i_end, geti(I_LEFT)))
+
+            rho[:] = rho[:] + mf * s_cum[:]
+            seti(DEPTH, jnp.where(m, d + 1, geti(DEPTH)))
+
+            turn_top = jnp.logical_or(
+                jnp.sum(rho[:] * ps_l[:], axis=1, keepdims=True) < 0,
+                jnp.sum(rho[:] * ps_r[:], axis=1, keepdims=True) < 0)
+            died_top = jnp.logical_and(m, turn_top)
+
+            term = geti(TERM)
+            dd = geti(DIED_DIV) > 0
+            dt = geti(DIED_TURN) > 0
+            term = jnp.where(dd, term_div, term)
+            term = jnp.where(dt, term_turn, term)
+            term = jnp.where(died_top, term_turn, term)
+            seti(TERM, term)
+            inner_died = jnp.logical_or(dd, dt)
+            seti(TL, jnp.where(inner_died, geti(DIE_L),
+                               jnp.where(died_top, geti(I_LEFT), geti(TL))))
+            seti(TR, jnp.where(inner_died, geti(DIE_R),
+                               jnp.where(died_top, geti(I_RIGHT), geti(TR))))
+            seti(ACTIVE, jnp.where(jnp.logical_and(m, ~turn_top), 1, 0))
+
+        # statically unrolled doubling loop, predicated per tile
+        for d in range(max_depth):
+            @pl.when(jnp.sum(coli[:, ACTIVE]) > 0)
+            def _run(d=d):
+                doubling_block(d)
+
+        out_q[:] = prop_q[:]
+        out_grad[:] = prop_g[:]
+        out_logp[:] = getf(PROP_LOGP)
+        out_energy[:] = getf(PROP_DELTA) + getf(PI0)
+        out_lsa[:] = getf(LSA)
+        out_term[:] = geti(TERM)
+        out_tl[:] = geti(TL)
+        out_tr[:] = geti(TR)
+        out_depth[:] = geti(DEPTH)
+        out_steps[:] = geti(STEPS)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_c", "max_depth", "min_delta",
+                                    "interpret"))
+def _transition_padded(q0, p0, eps, dirs, seed, lam, minv,
+                       block_c: int, max_depth: int, min_delta: float,
+                       interpret: bool = False):
+    from ..core.state import Termination
+
+    cpad, dpad = q0.shape
+    md1 = max_depth + 1
+    grid = (cpad // block_c,)
+    vec = pl.BlockSpec((block_c, dpad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((block_c, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, dpad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    kernel = _make_kernel(block_c, dpad, max_depth, min_delta,
+                          Termination.MAX_DEPTH, Termination.DIVERGENCE,
+                          Termination.TURNING, use_prng=not interpret)
+    f32 = jnp.float32
+    i32 = jnp.int32
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[vec, vec, col, col, smem1, row, row],
+        out_specs=[vec, col, vec, col, col, col, col, col, col, col],
+        out_shape=[
+            jax.ShapeDtypeStruct((cpad, dpad), f32),   # q
+            jax.ShapeDtypeStruct((cpad, 1), f32),      # logp
+            jax.ShapeDtypeStruct((cpad, dpad), f32),   # grad
+            jax.ShapeDtypeStruct((cpad, 1), f32),      # energy
+            jax.ShapeDtypeStruct((cpad, 1), f32),      # log_sum_alpha
+            jax.ShapeDtypeStruct((cpad, 1), i32),      # term
+            jax.ShapeDtypeStruct((cpad, 1), i32),      # tl
+            jax.ShapeDtypeStruct((cpad, 1), i32),      # tr
+            jax.ShapeDtypeStruct((cpad, 1), i32),      # depth
+            jax.ShapeDtypeStruct((cpad, 1), i32),      # steps
+        ],
+        scratch_shapes=[
+            *[pltpu.VMEM((block_c, dpad), f32) for _ in range(17)],
+            pltpu.VMEM((block_c, md1, dpad), f32),
+            pltpu.VMEM((block_c, md1, dpad), f32),
+            pltpu.VMEM((block_c, 16), f32),
+            pltpu.VMEM((block_c, 16), i32),
+        ],
+        interpret=interpret,
+    )(q0, p0, eps, dirs, seed, lam, minv)
+
+
+def make_gaussian_tree_transition(precision, metric_inv, *, max_depth: int = 10,
+                                  min_delta: float = -1000.0,
+                                  block_c: int = 256, interpret: bool = False):
+    """Build a whole-transition kernel closure for ``grad = -precision*q``.
+
+    Returns ``transition(key, z: EvalPoint, eps, *, directions=None,
+    momentum=None) -> (EvalPoint, TreeStats)`` matching
+    :func:`inplacedhmc_tpu.nuts.tree.nuts_transition` semantics (momentum and
+    direction bits are drawn with ``jax.random`` outside the kernel, exactly
+    like the reference's ``sample_tree``; only the proposal uniforms use the
+    in-kernel PRNG).
+    """
+    from ..core.state import EvalPoint, TreeStats
+
+    precision = jnp.asarray(precision, jnp.float32)
+    d = precision.shape[0]
+    dpad = _round_up(d, 128)
+    lam = jnp.zeros((1, dpad), jnp.float32).at[0, :d].set(precision)
+    minv_vec = jnp.asarray(metric_inv, jnp.float32)
+    minv = jnp.zeros((1, dpad), jnp.float32).at[0, :d].set(minv_vec)
+    sqrt_mass = 1.0 / jnp.sqrt(minv_vec)
+
+    def transition(key, z, eps, *, directions=None, momentum=None):
+        c = z.q.shape[0]
+        assert z.q.shape[1] == d
+        cpad = _round_up(max(c, 8), min(block_c, _round_up(c, 8)))
+        bc = min(block_c, cpad)
+        cpad = _round_up(cpad, bc)
+
+        key, k_p, k_dir, k_seed = jax.random.split(key, 4)
+        if momentum is None:
+            momentum = sqrt_mass * jax.random.normal(k_p, (c, d), jnp.float32)
+        if directions is None:
+            directions = jax.random.bits(k_dir, (c,), jnp.uint32)
+        seed = jax.random.randint(k_seed, (1,), 0, 2**31 - 1, jnp.int32)
+
+        q0 = jnp.zeros((cpad, dpad), jnp.float32).at[:c, :d].set(z.q)
+        p0 = jnp.zeros((cpad, dpad), jnp.float32).at[:c, :d].set(momentum)
+        epsc = jnp.zeros((cpad, 1), jnp.float32).at[:c, 0].set(
+            jnp.broadcast_to(jnp.asarray(eps, jnp.float32), (c,)))
+        dirsc = jnp.zeros((cpad, 1), jnp.int32).at[:c, 0].set(
+            directions.astype(jnp.int32))
+
+        (q, logp, grad, energy, lsa, term, tl, tr, depth, steps) = \
+            _transition_padded(q0, p0, epsc, dirsc, seed, lam, minv,
+                               bc, max_depth, float(min_delta), interpret)
+
+        steps_c = steps[:c, 0]
+        accept = jnp.minimum(
+            jnp.exp(lsa[:c, 0]) / jnp.maximum(steps_c, 1).astype(jnp.float32),
+            1.0)
+        stats = TreeStats(
+            energy=energy[:c, 0], acceptance_rate=accept,
+            termination=term[:c, 0], term_left=tl[:c, 0], term_right=tr[:c, 0],
+            depth=depth[:c, 0], steps=steps_c)
+        z_new = EvalPoint(q=q[:c, :d], logp=logp[:c, 0], grad=grad[:c, :d])
+        return z_new, stats
+
+    return transition

@@ -78,7 +78,26 @@ class NUTSKernel:
 
         self.potential = batched_logdensity_and_grad(model.logp)
         self.step_factory = None
-        if use_pallas in ("on", "interpret") and st is not None:
+        self.transition_factory = None
+        if use_pallas == "tree" and st is not None \
+                and st.get("kind") == "diag_gaussian":
+            # whole-transition Pallas kernel (ops/tree_pallas.py): the entire
+            # NUTS tree runs in VMEM.  Opt-in; single-device diag-metric f32.
+            from .core.metric import DiagMetric
+            from .ops.tree_pallas import make_gaussian_tree_transition
+            prec = st["precision"]
+            algo = self.algorithm
+
+            def tree_factory(metric):
+                if (isinstance(metric, DiagMetric) and metric.inv.ndim == 1
+                        and metric.inv.dtype == jnp.float32):
+                    return make_gaussian_tree_transition(
+                        prec, metric.inv, max_depth=algo.max_depth,
+                        min_delta=algo.min_delta)
+                return None
+
+            self.transition_factory = tree_factory
+        elif use_pallas in ("on", "interpret") and st is not None:
             if st.get("kind") == "logistic":
                 from .ops.logistic_pallas import make_logistic_potential
                 self.potential = make_logistic_potential(
@@ -107,7 +126,8 @@ class NUTSKernel:
             f = functools.partial(W.run_tuning, potential=self.potential,
                                   stage=stage, algorithm=self.algorithm,
                                   pooled=self.pooled, axis_name=self.axis_name,
-                                  step_factory=self.step_factory)
+                                  step_factory=self.step_factory,
+                                  transition_factory=self.transition_factory)
             self._jit_cache[key] = jax.jit(
                 lambda k, state: f(k, state=state), donate_argnums=(1,))
         return self._jit_cache[key]
@@ -126,10 +146,36 @@ class NUTSKernel:
         if key not in self._jit_cache:
             f = functools.partial(W.run_sampling, potential=self.potential,
                                   algorithm=self.algorithm, n_draws=n_draws,
-                                  step_factory=self.step_factory)
+                                  step_factory=self.step_factory,
+                                  transition_factory=self.transition_factory)
             self._jit_cache[key] = jax.jit(
                 lambda k, state: f(k, state=state))
         return self._jit_cache[key]
+
+    def precompile(self, n_chains: int, stages: Sequence, n_draws: int,
+                   dtype=jnp.float32):
+        """Ahead-of-time compile every stage for the given shapes (the TPU
+        answer to the reference's ``_precompile_`` stub, ``precompile.jl:1-3``):
+        lowers and compiles each jitted stage function so the first real
+        ``run`` pays no compile latency.  Compiled executables live in jax's
+        compilation cache keyed by these shapes."""
+        import inplacedhmc_tpu.adapt.warmup as W
+
+        state = W.init_warmup_state(jax.random.PRNGKey(0), self.potential,
+                                    self.model.dim, n_chains, dtype, eps=0.5)
+        # the stepsize-search stage runs before an eps exists (log_eps=None),
+        # a different pytree structure — compile it with the matching state
+        state_no_eps = state._replace(log_eps=None)
+        key = jax.random.PRNGKey(0)
+        compiled = []
+        for stage in stages:
+            if isinstance(stage, InitialStepsizeSearch):
+                compiled.append(
+                    self._search_fn(stage).lower(key, state_no_eps).compile())
+            elif isinstance(stage, TuningNUTS):
+                compiled.append(self._tuning_fn(stage).lower(key, state).compile())
+        compiled.append(self._sampling_fn(n_draws).lower(key, state).compile())
+        return len(compiled)
 
     # -- driver ---------------------------------------------------------------
 

@@ -1,0 +1,100 @@
+"""Whole-transition Pallas tree kernel vs the recursive oracle.
+
+All RNG-free observables (termination kind/positions, depth, steps, acceptance
+statistic) must match the oracle exactly for fixed (q0, p0, eps, directions);
+the proposal must be a leaf of the final trajectory.  Runs the kernel in
+interpreter mode on CPU (proposal uniforms fixed at 0.5 there — they do not
+affect any compared quantity except which leaf is proposed).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inplacedhmc_tpu.core.hamiltonian import batched_logdensity_and_grad
+from inplacedhmc_tpu.core.state import EvalPoint, Termination
+from inplacedhmc_tpu.ops.tree_pallas import make_gaussian_tree_transition
+
+from _oracle import oracle_trajectory
+
+TERM_NAME = {Termination.MAX_DEPTH: "max_depth",
+             Termination.DIVERGENCE: "divergence",
+             Termination.TURNING: "turning"}
+
+
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("eps", [0.1, 0.4, 1.1])
+def test_pallas_tree_matches_oracle(seed, eps):
+    d, c, max_depth = 7, 16, 5
+    rng = np.random.default_rng(seed)
+    prec = (rng.gamma(2.0, size=d) + 0.3).astype(np.float32)
+    minv = (rng.gamma(2.0, size=d) + 0.3).astype(np.float32)
+
+    def logp_np(q):
+        return -0.5 * float(q @ (prec * q)), -prec * q
+
+    def logp_jax(q):
+        return -0.5 * jnp.sum(q * (jnp.asarray(prec) * q))
+
+    q0 = rng.normal(size=(c, d)).astype(np.float32)
+    p0 = rng.normal(size=(c, d)).astype(np.float32)
+    dirs = rng.integers(0, 2**32, size=c, dtype=np.uint32)
+
+    pot = batched_logdensity_and_grad(logp_jax)
+    lp, g = pot(jnp.asarray(q0))
+    z = EvalPoint(q=jnp.asarray(q0), logp=lp, grad=g)
+
+    tr = make_gaussian_tree_transition(jnp.asarray(prec), jnp.asarray(minv),
+                                       max_depth=max_depth, block_c=16,
+                                       interpret=True)
+    z2, st = tr(jax.random.PRNGKey(seed), z, eps,
+                directions=jnp.asarray(dirs), momentum=jnp.asarray(p0))
+
+    for i in range(c):
+        want = oracle_trajectory(logp_np, minv, q0[i], p0[i], eps, int(dirs[i]),
+                                 max_depth=max_depth)
+        tag = f"chain {i} seed {seed} eps {eps}"
+        assert TERM_NAME[int(st.termination[i])] == want["termination"], tag
+        assert int(st.depth[i]) == want["depth"], tag
+        assert int(st.steps[i]) == want["steps"], tag
+        if want["termination"] != "max_depth":
+            assert int(st.term_left[i]) == want["term_left"], tag
+            assert int(st.term_right[i]) == want["term_right"], tag
+        np.testing.assert_allclose(float(st.acceptance_rate[i]), want["accept"],
+                                   atol=2e-4, err_msg=tag)
+        # proposal must be a leaf of the final trajectory
+        delta_got = float(st.energy[i]) - want["pi0"]
+        leaf_deltas = np.array(list(want["leaves"].values()))
+        assert np.min(np.abs(leaf_deltas - delta_got)) < 5e-3, tag
+
+
+def test_pallas_tree_with_metric():
+    """Non-identity diagonal metric: energies use M^-1, momenta stay raw."""
+    d, c = 5, 8
+    rng = np.random.default_rng(9)
+    prec = np.full(d, 2.0, np.float32)
+    minv = (rng.gamma(3.0, size=d)).astype(np.float32)
+
+    def logp_np(q):
+        return -0.5 * float(q @ (prec * q)), -prec * q
+
+    def logp_jax(q):
+        return -0.5 * jnp.sum(q * (jnp.asarray(prec) * q))
+
+    q0 = rng.normal(size=(c, d)).astype(np.float32)
+    p0 = rng.normal(size=(c, d)).astype(np.float32)
+    dirs = rng.integers(0, 2**32, size=c, dtype=np.uint32)
+    pot = batched_logdensity_and_grad(logp_jax)
+    lp, g = pot(jnp.asarray(q0))
+    z = EvalPoint(q=jnp.asarray(q0), logp=lp, grad=g)
+    tr = make_gaussian_tree_transition(jnp.asarray(prec), jnp.asarray(minv),
+                                       max_depth=5, block_c=8, interpret=True)
+    z2, st = tr(jax.random.PRNGKey(0), z, 0.3,
+                directions=jnp.asarray(dirs), momentum=jnp.asarray(p0))
+    for i in range(c):
+        want = oracle_trajectory(logp_np, minv, q0[i], p0[i], 0.3, int(dirs[i]),
+                                 max_depth=5)
+        assert int(st.steps[i]) == want["steps"], i
+        assert int(st.depth[i]) == want["depth"], i
+        assert TERM_NAME[int(st.termination[i])] == want["termination"], i
