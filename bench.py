@@ -26,34 +26,46 @@ def bench_leapfrog_steps_per_sec(n_chains=10_240, dim=100, n_transitions=16,
     metric = ih.identity_metric(dim, dtype)
     eps = jnp.asarray(0.25, dtype)
 
-    # whole-transition Pallas tree kernel on TPU backends (ops/tree_pallas.py)
+    # whole-transition Pallas tree kernel on TPU backends (ops/tree_pallas.py);
+    # falls back to the XLA tree if the Mosaic compile fails in this env
     transition = None
     if jax.default_backend() not in ("cpu", "gpu"):
         from inplacedhmc_tpu.ops.tree_pallas import make_gaussian_tree_transition
         transition = make_gaussian_tree_transition(
             model.structure["precision"], metric.inv, max_depth=10)
 
-    @jax.jit
-    def block(key, q):
-        z = ih.evaluate(pot, q)
+    def make_block(trans):
+        @jax.jit
+        def block(key, q):
+            z = ih.evaluate(pot, q)
 
-        def step(carry, k):
-            z, total = carry
-            if transition is not None:
-                z2, stats = transition(k, z, eps)
-            else:
-                z2, stats = ih.nuts_transition(k, pot, metric, z, eps, max_depth=10)
-            return (z2, total + jnp.sum(stats.steps.astype(jnp.int64))), None
+            def step(carry, k):
+                z, total = carry
+                if trans is not None:
+                    z2, stats = trans(k, z, eps)
+                else:
+                    z2, stats = ih.nuts_transition(k, pot, metric, z, eps,
+                                                   max_depth=10)
+                return (z2, total + jnp.sum(stats.steps.astype(jnp.int64))), None
 
-        keys = jax.random.split(key, n_transitions)
-        (z, total), _ = jax.lax.scan(step, (z, jnp.asarray(0, jnp.int64)), keys)
-        return z.q, total
+            keys = jax.random.split(key, n_transitions)
+            (z, total), _ = jax.lax.scan(step, (z, jnp.asarray(0, jnp.int64)), keys)
+            return z.q, total
+        return block
 
     key = jax.random.PRNGKey(0)
     q0 = jax.random.normal(key, (n_chains, dim), dtype)
-    # warm-up compile
-    q1, total = block(jax.random.PRNGKey(1), q0)
-    int(total)
+    # warm-up compile (with Mosaic->XLA fallback)
+    block = make_block(transition)
+    try:
+        q1, total = block(jax.random.PRNGKey(1), q0)
+        int(total)
+    except Exception:
+        if transition is None:
+            raise
+        block = make_block(None)
+        q1, total = block(jax.random.PRNGKey(1), q0)
+        int(total)
     float(jnp.sum(q1))  # pre-compile the eager sync op outside the timed region
     t0 = time.perf_counter()
     q2, total = block(jax.random.PRNGKey(2), q1)
@@ -102,6 +114,17 @@ def bench_logistic_ess_per_sec(n_chains=512, n_obs=10_000, n_feat=50,
     return ess_min / sample_s, ess_mean / sample_s, sample_s, warm_plus_sample_s
 
 
+def _load_local_baseline():
+    """Previous-round headline value, for vs_baseline tracking across rounds."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_baseline.json")
+    try:
+        with open(path) as f:
+            return json.load(f).get("leapfrog_steps_per_sec_10k_chains")
+    except Exception:
+        return None
+
+
 def main():
     quick = "--quick" in sys.argv
     lf_rate, lf_steps, lf_dt = bench_leapfrog_steps_per_sec(
@@ -120,11 +143,12 @@ def main():
     except Exception as e:  # keep the primary metric even if ESS bench fails
         extras["logistic_error"] = repr(e)[:200]
 
+    base = _load_local_baseline()
     print(json.dumps({
         "metric": "leapfrog_steps_per_sec_10k_chains",
         "value": round(lf_rate, 1),
         "unit": "steps/s",
-        "vs_baseline": 1.0,
+        "vs_baseline": round(lf_rate / base, 3) if base else 1.0,
         **extras,
     }))
 

@@ -1,0 +1,132 @@
+"""Run the five BASELINE.json evaluation configs end-to-end.
+
+Usage:
+    python examples/baseline_configs.py [config ...] [--scale small|full]
+
+Configs: normal, funnel, logistic, eight_schools, stoch_vol (default: all).
+``--scale small`` shrinks sizes for CPU smoke runs; ``full`` uses the
+BASELINE sizes (TPU recommended).  Prints a JSON line per config with
+posterior-check results, acceptance, divergence fraction, R-hat, ESS and
+wall time.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from inplacedhmc_tpu import diagnostics as diag
+from inplacedhmc_tpu.config import DualAveraging, default_warmup_stages
+from inplacedhmc_tpu.models import (eight_schools, funnel, logistic_regression,
+                                    std_normal, stoch_vol, synthetic_data,
+                                    synthetic_returns)
+from inplacedhmc_tpu.sample import mcmc_with_warmup
+
+
+def _summary(name, res, wall, checks):
+    ess = np.asarray(diag.ess_bulk(res.draws))
+    rhat = np.asarray(diag.split_rhat(res.draws))
+    return {
+        "config": name,
+        "draws": list(res.draws.shape),
+        "wall_s": round(wall, 2),
+        "accept_mean": round(float(np.asarray(res.stats.acceptance_rate).mean()), 3),
+        "divergence_frac": round(diag.divergence_fraction(res.stats), 4),
+        "rhat_max": round(float(rhat.max()), 4),
+        "ess_min": round(float(ess.min()), 1),
+        "ess_min_per_s": round(float(ess.min()) / wall, 1),
+        "checks": checks,
+    }
+
+
+def run_normal(scale):
+    d = 100
+    n, c = (1000, 64) if scale == "full" else (300, 16)
+    model = std_normal(d)
+    t0 = time.perf_counter()
+    res = mcmc_with_warmup(jax.random.PRNGKey(0), model, n, c)
+    wall = time.perf_counter() - t0
+    flat = np.asarray(res.draws).reshape(-1, d)
+    checks = {"mean_abs_max": round(float(np.abs(flat.mean(0)).max()), 4),
+              "var_err_max": round(float(np.abs(flat.var(0) - 1).max()), 4)}
+    return _summary("std_normal_100d", res, wall, checks)
+
+
+def run_funnel(scale):
+    n, c = (1000, 64) if scale == "full" else (300, 16)
+    model = funnel(10)
+    stages = default_warmup_stages(local_optimization=None,
+                                   stepsize_adaptation=DualAveraging(delta=0.9))
+    t0 = time.perf_counter()
+    res = mcmc_with_warmup(jax.random.PRNGKey(1), model, n, c,
+                           warmup_stages=stages)
+    wall = time.perf_counter() - t0
+    v = np.asarray(res.draws)[..., 0].ravel()
+    checks = {"v_std": round(float(v.std()), 3),
+              "eps": round(float(np.exp(np.asarray(res.warmup_state.log_eps)).mean()), 4)}
+    return _summary("neal_funnel", res, wall, checks)
+
+
+def run_logistic(scale):
+    n_obs, d = (10_000, 50) if scale == "full" else (2000, 20)
+    n, c = (500, 256) if scale == "full" else (200, 16)
+    x, y, beta_true = synthetic_data(jax.random.PRNGKey(2), n_obs, d)
+    model = logistic_regression(x, y)
+    stages = default_warmup_stages(metric="dense")
+    t0 = time.perf_counter()
+    res = mcmc_with_warmup(jax.random.PRNGKey(3), model, n, c,
+                           warmup_stages=stages, dtype=jnp.float32)
+    wall = time.perf_counter() - t0
+    post_mean = np.asarray(res.draws).reshape(-1, d).mean(0)
+    corr = float(np.corrcoef(post_mean, np.asarray(beta_true))[0, 1])
+    checks = {"beta_corr_with_truth": round(corr, 4)}
+    return _summary("logistic_regression", res, wall, checks)
+
+
+def run_eight_schools(scale):
+    n, c = (1000, 1024) if scale == "full" else (400, 64)
+    model = eight_schools()
+    t0 = time.perf_counter()
+    res = mcmc_with_warmup(jax.random.PRNGKey(4), model, n, c)
+    wall = time.perf_counter() - t0
+    post = model.constrain(res.draws)
+    checks = {"mu_mean": round(float(np.asarray(post["mu"]).mean()), 3),
+              "tau_median": round(float(np.median(np.asarray(post["tau"]))), 3)}
+    return _summary("eight_schools", res, wall, checks)
+
+
+def run_stoch_vol(scale):
+    t_len = 1000 if scale == "full" else 100
+    n, c = (500, 64) if scale == "full" else (200, 16)
+    returns = synthetic_returns(jax.random.PRNGKey(5), t_len, phi=0.97, s=0.15)
+    model = stoch_vol(returns)
+    stages = default_warmup_stages(local_optimization=None)
+    t0 = time.perf_counter()
+    res = mcmc_with_warmup(jax.random.PRNGKey(6), model, n, c,
+                           warmup_stages=stages, dtype=jnp.float32)
+    wall = time.perf_counter() - t0
+    phi_post = np.tanh(np.asarray(res.draws)[..., 0]).mean()
+    checks = {"phi_post_mean": round(float(phi_post), 3)}
+    return _summary(f"stoch_vol_{t_len}", res, wall, checks)
+
+
+RUNNERS = {"normal": run_normal, "funnel": run_funnel, "logistic": run_logistic,
+           "eight_schools": run_eight_schools, "stoch_vol": run_stoch_vol}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("configs", nargs="*", default=list(RUNNERS))
+    ap.add_argument("--scale", choices=["small", "full"], default="small")
+    args = ap.parse_args()
+    for name in (args.configs or list(RUNNERS)):
+        out = RUNNERS[name](args.scale)
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
