@@ -20,10 +20,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..config import DualAveraging, FixedStepsize, InitialStepsizeSearch
+from ..config import DualAveraging, InitialStepsizeSearch
 from ..core.hamiltonian import joint_logdensity
 from ..core.metric import Metric
-from ..core.state import EvalPoint, PhasePoint
+from ..core.state import PhasePoint
 from ..ops.integrator import leapfrog
 
 

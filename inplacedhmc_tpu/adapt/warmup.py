@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..config import (DualAveraging, FindLocalOptimum, FixedStepsize,
+from ..config import (DualAveraging, FindLocalOptimum,
                       InitialStepsizeSearch, NUTS, TuningNUTS)
 from ..core.hamiltonian import evaluate
 from ..core.metric import (Metric, estimate_dense_metric, estimate_diag_metric,
@@ -201,23 +201,38 @@ class SamplingResult(NamedTuple):
 def run_sampling(key, potential: Callable, algorithm: NUTS, state: WarmupState,
                  n_draws: int,
                  step_factory: Optional[Callable] = None,
-                 transition_factory: Optional[Callable] = None) -> SamplingResult:
+                 transition_factory: Optional[Callable] = None,
+                 thin: int = 1) -> SamplingResult:
     """The post-warmup loop ``mcmc!`` (``warmup.jl:316-332``): fixed eps and
-    metric, collect positions and tree statistics."""
+    metric, collect positions and tree statistics.
+
+    ``thin > 1`` runs ``thin`` transitions per recorded draw (keeping the
+    last), bounding chain-storage memory for huge chain counts; the recorded
+    statistics are those of the recorded transition.
+    """
     eps = jnp.exp(state.log_eps)
-    keys = jax.random.split(key, n_draws)
+    keys = jax.random.split(key, n_draws * thin).reshape(n_draws, thin, -1)
     fused_step = step_factory(state.metric) if step_factory is not None else None
     fused_trans = (transition_factory(state.metric)
                    if transition_factory is not None else None)
 
-    def step(z, k):
+    def one(z, k):
         if fused_trans is not None:
-            z2, stats = fused_trans(k, z, eps)
+            return fused_trans(k, z, eps)
+        return nuts_transition(k, potential, state.metric, z, eps,
+                               max_depth=algorithm.max_depth,
+                               min_delta=algorithm.min_delta,
+                               step_fn=fused_step)
+
+    def step(z, ks):
+        if thin == 1:
+            z2, stats = one(z, ks[0])
         else:
-            z2, stats = nuts_transition(k, potential, state.metric, z, eps,
-                                        max_depth=algorithm.max_depth,
-                                        min_delta=algorithm.min_delta,
-                                        step_fn=fused_step)
+            def inner(carry, k):
+                z2, stats = one(carry, k)
+                return z2, stats
+            z2, stats_all = lax.scan(inner, z, ks)
+            stats = jax.tree_util.tree_map(lambda x: x[-1], stats_all)
         return z2, (z2.q, stats)
 
     z, (qs, stats) = lax.scan(step, state.z, keys)

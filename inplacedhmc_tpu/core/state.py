@@ -9,7 +9,7 @@ of the in-place updates.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Union
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 

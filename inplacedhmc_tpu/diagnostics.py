@@ -22,7 +22,7 @@ import numpy as np
 
 from .core.hamiltonian import batched_logdensity_and_grad, evaluate, joint_logdensity
 from .core.metric import Metric, identity_metric, sample_momentum
-from .core.state import EvalPoint, PhasePoint, Termination, TreeStats
+from .core.state import PhasePoint, Termination, TreeStats
 from .ops.integrator import leapfrog
 
 ACCEPTANCE_QUANTILES = (0.05, 0.25, 0.5, 0.75, 0.95)
@@ -157,6 +157,41 @@ def ess_bulk(draws: jnp.ndarray) -> jnp.ndarray:
 
 def ess_per_second(draws: jnp.ndarray, wall_s: float) -> jnp.ndarray:
     return ess_bulk(draws) / wall_s
+
+
+def _rank_normalize(draws: jnp.ndarray) -> jnp.ndarray:
+    """Rank-normalize draws across all chains (Vehtari et al. 2021 §3):
+    ranks -> fractional offsets -> inverse normal CDF.  [N, C, D] -> same."""
+    n, c, d = draws.shape
+    flat = draws.reshape(n * c, d)
+    order = jnp.argsort(flat, axis=0)
+    ranks = jnp.argsort(order, axis=0).astype(draws.dtype) + 1.0
+    frac = (ranks - 0.375) / (n * c + 0.25)   # Blom offsets
+    z = jax.scipy.special.ndtri(frac)
+    return z.reshape(n, c, d)
+
+
+def rhat_rank(draws: jnp.ndarray) -> jnp.ndarray:
+    """Rank-normalized split-R̂: max of bulk (rank-normalized) and tail
+    (folded rank-normalized) R̂ — robust to heavy tails and nonstationary
+    variance, per Vehtari et al. (2021)."""
+    bulk = split_rhat(_rank_normalize(draws))
+    folded = jnp.abs(draws - jnp.median(draws.reshape(-1, draws.shape[-1]),
+                                        axis=0))
+    tail = split_rhat(_rank_normalize(folded))
+    return jnp.maximum(bulk, tail)
+
+
+def ess_tail(draws: jnp.ndarray) -> jnp.ndarray:
+    """Tail ESS: minimum of the ESS of the 5% and 95% quantile indicator
+    sequences (Vehtari et al. 2021) — measures tail-exploration efficiency."""
+    d = draws.shape[-1]
+    flat = draws.reshape(-1, d)
+    q05 = jnp.quantile(flat, 0.05, axis=0)
+    q95 = jnp.quantile(flat, 0.95, axis=0)
+    lo = (draws <= q05[None, None, :]).astype(draws.dtype)
+    hi = (draws <= q95[None, None, :]).astype(draws.dtype)
+    return jnp.minimum(ess_bulk(lo), ess_bulk(hi))
 
 
 # ---------------------------------------------------------------------------

@@ -15,11 +15,11 @@ A/B-testable flag.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax.numpy as jnp
 
-from ..core.metric import DiagMetric, Metric, psharp
+from ..core.metric import Metric, psharp
 from ..core.state import EvalPoint, PhasePoint
 
 

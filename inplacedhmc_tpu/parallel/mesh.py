@@ -70,7 +70,7 @@ def run_sharded(key, model, n_draws: int, n_chains: int, *, mesh: Mesh,
     """
     from ..config import NUTS, DualAveraging, default_warmup_stages
     from ..adapt import warmup as W
-    from ..sample import MCMCResult, NUTSKernel, _kernel
+    from ..sample import MCMCResult, _kernel
     from ..core.state import WarmupState
 
     assert n_chains % mesh.size == 0, (
@@ -80,7 +80,9 @@ def run_sharded(key, model, n_draws: int, n_chains: int, *, mesh: Mesh,
         warmup_stages = default_warmup_stages(
             stepsize_adaptation=DualAveraging(delta=delta))
 
-    kern = _kernel(model, algorithm, True, None)  # pooled; GSPMD collectives
+    # pooled adaptation; GSPMD inserts the collectives.  Pallas kernels do
+    # not auto-partition under GSPMD, so the sharded path uses the XLA tree.
+    kern = _kernel(model, algorithm, True, None, use_pallas="off")
     key, k_init, k_warm, k_sample = jax.random.split(key, 4)
     state = W.init_warmup_state(k_init, kern.potential, model.dim, n_chains,
                                 dtype, q=q, metric=metric, eps=eps)

@@ -21,7 +21,7 @@ the Python loop between blocks is the reference's ``_warmup!`` unroller
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,7 @@ from .config import (DualAveraging, FindLocalOptimum, InitialStepsizeSearch,
                      NUTS, TuningNUTS, default_warmup_stages)
 from .core.hamiltonian import batched_logdensity_and_grad
 from .core.metric import Metric
-from .core.state import EvalPoint, TreeStats, WarmupState
+from .core.state import TreeStats, WarmupState
 from .models.base import Model
 from .report import NoProgressReport
 
@@ -141,11 +141,12 @@ class NUTSKernel:
             self._jit_cache[key] = jax.jit(lambda k, state: f(k, state=state))
         return self._jit_cache[key]
 
-    def _sampling_fn(self, n_draws: int):
-        key = ("sampling", n_draws)
+    def _sampling_fn(self, n_draws: int, thin: int = 1):
+        key = ("sampling", n_draws, thin)
         if key not in self._jit_cache:
             f = functools.partial(W.run_sampling, potential=self.potential,
                                   algorithm=self.algorithm, n_draws=n_draws,
+                                  thin=thin,
                                   step_factory=self.step_factory,
                                   transition_factory=self.transition_factory)
             self._jit_cache[key] = jax.jit(
@@ -222,6 +223,7 @@ class NUTSKernel:
             eps: Optional[float] = None,
             dtype=jnp.float32,
             reporter=None,
+            thin: int = 1,
             collect_warmup_stats: bool = True) -> MCMCResult:
         reporter = reporter or NoProgressReport()
         if warmup_stages is None:
@@ -230,8 +232,9 @@ class NUTSKernel:
         state = W.init_warmup_state(k_init, self.potential, self.model.dim,
                                     n_chains, dtype, q=q, metric=metric, eps=eps)
         state, warmup_stats = self.warmup(k_warm, state, warmup_stages, reporter)
-        reporter.start_stage(f"sampling {n_draws} draws x {n_chains} chains", n_draws)
-        out = self._sampling_fn(n_draws)(k_sample, state)
+        reporter.start_stage(f"sampling {n_draws} draws x {n_chains} chains"
+                             + (f" (thin {thin})" if thin > 1 else ""), n_draws)
+        out = self._sampling_fn(n_draws, thin)(k_sample, state)
         reporter.end_stage()
         ws = None
         if collect_warmup_stats and warmup_stats:
@@ -246,10 +249,12 @@ _KERNEL_CACHE: dict = {}
 
 
 def _kernel(model: Model, algorithm: NUTS, pooled: bool,
-            axis_name: Optional[str]) -> NUTSKernel:
-    key = (model, algorithm, pooled, axis_name)
+            axis_name: Optional[str],
+            use_pallas: str = "auto") -> NUTSKernel:
+    key = (model, algorithm, pooled, axis_name, use_pallas)
     if key not in _KERNEL_CACHE:
-        _KERNEL_CACHE[key] = NUTSKernel(model, algorithm, pooled, axis_name)
+        _KERNEL_CACHE[key] = NUTSKernel(model, algorithm, pooled, axis_name,
+                                        use_pallas=use_pallas)
     return _KERNEL_CACHE[key]
 
 
@@ -262,7 +267,8 @@ def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
                      metric: Optional[Metric] = None,
                      eps: Optional[float] = None,
                      dtype=jnp.float32,
-                     reporter=None) -> MCMCResult:
+                     reporter=None,
+                     thin: int = 1) -> MCMCResult:
     """NUTS with the default windowed warmup (``mcmc_with_warmup``,
     ``mcmc.jl:109-128``).  ``delta`` is the dual-averaging target acceptance
     rate (the reference's ``δ`` kwarg, ``mcmc.jl:110-111``)."""
@@ -273,7 +279,8 @@ def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
             stepsize_adaptation=DualAveraging(delta=delta))
     kern = _kernel(model, algorithm, pooled, None)
     return kern.run(key, n_draws, n_chains, warmup_stages=warmup_stages,
-                    q=q, metric=metric, eps=eps, dtype=dtype, reporter=reporter)
+                    q=q, metric=metric, eps=eps, dtype=dtype, reporter=reporter,
+                    thin=thin)
 
 
 def threaded_mcmc(key, model: Model, n_draws: int, n_chains: int, *,

@@ -97,3 +97,23 @@ def test_explore_log_acceptance_ratios_and_trajectory():
     assert [p.position for p in pts] == list(range(-5, 6))
     assert pts[5].delta == 0.0
     assert all(np.isfinite(p.delta) for p in pts)
+
+
+def test_rank_normalized_rhat_and_tail_ess():
+    rng = np.random.default_rng(7)
+    good = jnp.asarray(rng.normal(size=(400, 8, 2)))
+    r = np.asarray(diag.rhat_rank(good))
+    np.testing.assert_allclose(r, 1.0, atol=0.05)
+    # heavy-tailed draws: plain moments unstable but rank-rhat still ~1
+    heavy = jnp.asarray(rng.standard_t(df=1.5, size=(400, 8, 2)))
+    r2 = np.asarray(diag.rhat_rank(heavy))
+    np.testing.assert_allclose(r2, 1.0, atol=0.08)
+    # disjoint chains flagged
+    bad = np.asarray(good).copy()
+    bad[:, :4, 0] += 4.0
+    r3 = np.asarray(diag.rhat_rank(jnp.asarray(bad)))
+    assert r3[0] > 1.3
+
+    te = np.asarray(diag.ess_tail(good))
+    total = 400 * 8
+    assert np.all(te > 0.3 * total), te

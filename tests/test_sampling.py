@@ -145,3 +145,15 @@ def test_warmup_stats_collected():
                            warmup_stages=short_stages(), dtype=jnp.float64)
     # short_stages: 40 + 25 + 50 + 100 + 25 tuning transitions
     assert np.asarray(res.warmup_stats.acceptance_rate).shape[0] == 240
+
+
+def test_thinned_sampling():
+    """thin=k runs k transitions per recorded draw (warmup.jl:316-332 loop,
+    extended): same posterior, fewer stored draws, lower autocorrelation."""
+    model = std_normal(4)
+    res = mcmc_with_warmup(jax.random.PRNGKey(8), model, n_draws=150,
+                           n_chains=4, warmup_stages=short_stages(),
+                           dtype=jnp.float64, thin=3)
+    assert res.draws.shape == (150, 4, 4)
+    flat = np.asarray(res.draws).reshape(-1, 4)
+    np.testing.assert_allclose(flat.var(0), 1.0, atol=0.3)
