@@ -75,8 +75,8 @@ def bench_leapfrog_steps_per_sec(n_chains=10_240, dim=100, n_transitions=16,
     return total / dt, total, dt
 
 
-def bench_logistic_ess_per_sec(n_chains=512, n_obs=10_000, n_feat=50,
-                               n_draws=256, dtype=jnp.float32):
+def bench_logistic_ess_per_sec(n_chains=2048, n_obs=10_000, n_feat=50,
+                               n_draws=128, dtype=jnp.float32):
     import inplacedhmc_tpu as ih
     from inplacedhmc_tpu import diagnostics as diag
     from inplacedhmc_tpu.config import DualAveraging, default_warmup_stages
@@ -133,7 +133,7 @@ def main():
     extras = {"leapfrog_steps": lf_steps, "leapfrog_wall_s": round(lf_dt, 3)}
     try:
         ess_min_rate, ess_mean_rate, sample_s, total_s = bench_logistic_ess_per_sec(
-            n_chains=128 if quick else 512, n_draws=64 if quick else 256,
+            n_chains=128 if quick else 2048, n_draws=64 if quick else 128,
             n_obs=2000 if quick else 10_000)
         extras.update({
             "logistic_ess_min_per_s": round(ess_min_rate, 2),

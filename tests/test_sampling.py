@@ -157,3 +157,18 @@ def test_thinned_sampling():
     assert res.draws.shape == (150, 4, 4)
     flat = np.asarray(res.draws).reshape(-1, 4)
     np.testing.assert_allclose(flat.var(0), 1.0, atol=0.3)
+
+
+def test_result_invariants_validate():
+    """Sanitizer-analog invariant checks (utils/validate.py) on a real run."""
+    from inplacedhmc_tpu.utils.validate import validate_result
+    model = std_normal(6)
+    res = mcmc_with_warmup(jax.random.PRNGKey(9), model, n_draws=100,
+                           n_chains=8, warmup_stages=short_stages(),
+                           dtype=jnp.float64)
+    assert validate_result(res) == []
+    # corrupt a record -> violation detected
+    bad_stats = res.stats._replace(
+        depth=np.asarray(res.stats.depth).copy() * 0 + 99)
+    from inplacedhmc_tpu.utils.validate import validate_tree_stats
+    assert validate_tree_stats(bad_stats) != []
