@@ -6,9 +6,13 @@ from .funnel import funnel
 from .gaussian import diag_normal, mvn, std_normal
 from .logistic import logistic_regression, synthetic_data
 from .stoch_vol import stoch_vol, synthetic_returns
+from .transforms import (Bijector, identity, interval, lower_bounded, positive,
+                         simplex, transformed_model)
 
 __all__ = [
     "Model", "std_normal", "diag_normal", "mvn", "funnel",
     "logistic_regression", "synthetic_data", "eight_schools",
     "stoch_vol", "synthetic_returns",
+    "Bijector", "identity", "interval", "lower_bounded", "positive",
+    "simplex", "transformed_model",
 ]
