@@ -12,8 +12,12 @@ wall time.
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# allow `python examples/baseline_configs.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -16,6 +16,10 @@ SIGMA = jnp.asarray([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
 
 
 def eight_schools() -> Model:
+    """Canonical priors (Stan's example model): mu ~ N(0, 10^2),
+    tau ~ half-Cauchy(0, 5) sampled as log_tau with the +log_tau Jacobian,
+    non-centered z ~ N(0, 1).  Expected posterior: mu ~= 7.5-8,
+    tau median ~= 3."""
     n = Y.shape[0]
     dim = 2 + n
 
@@ -23,9 +27,10 @@ def eight_schools() -> Model:
         mu, log_tau, z = q[0], q[1], q[2:]
         tau = jnp.exp(log_tau)
         theta = mu + tau * z
-        lp = -0.5 * (mu / 5.0) ** 2            # mu ~ N(0, 5^2)
-        lp += -0.5 * (log_tau / 5.0) ** 2 + 0.0  # log_tau ~ N(0, 5^2) (incl. Jacobian-free prior on log scale)
-        lp += -0.5 * jnp.sum(z * z)            # z ~ N(0, 1)
+        lp = -0.5 * (mu / 10.0) ** 2                     # mu ~ N(0, 10^2)
+        # tau ~ half-Cauchy(0, 5); log|dtau/dlog_tau| = log_tau
+        lp += -jnp.log1p((tau / 5.0) ** 2) + log_tau
+        lp += -0.5 * jnp.sum(z * z)                      # z ~ N(0, 1)
         sig = jnp.asarray(SIGMA, q.dtype)
         yy = jnp.asarray(Y, q.dtype)
         lp += jnp.sum(-0.5 * ((yy - theta) / sig) ** 2)
