@@ -108,13 +108,16 @@ def run_stoch_vol(scale):
     n, c = (500, 64) if scale == "full" else (200, 16)
     returns = synthetic_returns(jax.random.PRNGKey(5), t_len, phi=0.97, s=0.15)
     model = stoch_vol(returns)
-    stages = default_warmup_stages(local_optimization=None)
+    stages = default_warmup_stages(local_optimization=None,
+                                   stepsize_adaptation=DualAveraging(delta=0.95),
+                                   middle_steps=50)
     t0 = time.perf_counter()
     res = mcmc_with_warmup(jax.random.PRNGKey(6), model, n, c,
                            warmup_stages=stages, dtype=jnp.float32)
     wall = time.perf_counter() - t0
-    phi_post = np.tanh(np.asarray(res.draws)[..., 0]).mean()
-    checks = {"phi_post_mean": round(float(phi_post), 3)}
+    post = model.constrain(res.draws)
+    checks = {"phi_post_mean": round(float(np.asarray(post["phi"]).mean()), 3),
+              "s_post_mean": round(float(np.asarray(post["s"]).mean()), 4)}
     return _summary(f"stoch_vol_{t_len}", res, wall, checks)
 
 

@@ -32,10 +32,11 @@ def test_stoch_vol_sharded_end_to_end():
     assert np.all(np.isfinite(draws))
     # mixing sanity: the sampler moved and the latent vol stays in a sane range
     assert draws[..., 2:].std() > 0.05
-    h_mean = draws[..., 2:].mean()
+    post = model.constrain(res.draws)
+    h_mean = float(np.asarray(post["h"]).mean())
     assert -5.0 < h_mean < 5.0, h_mean
     # phi = tanh(raw) should lean positive (data generated with phi=0.95)
-    phi = np.tanh(draws[..., 0])
+    phi = np.asarray(post["phi"])
     assert phi.mean() > 0.3, phi.mean()
     # divergence rate may be nonzero on this posterior but must not dominate
     assert diag.divergence_fraction(res.stats) < 0.5
