@@ -91,10 +91,10 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
     def kernel(q0_ref, p0_ref, eps_ref, dirs_ref, seed_ref, lam_ref, minv_ref,
                out_q, out_logp, out_grad, out_energy, out_lsa,
                out_term, out_tl, out_tr, out_depth, out_steps,
-               left_q, left_p, left_g, right_q, right_p, right_g,
-               cur_q, cur_p, cur_g,
+               left_q, left_p, right_q, right_p,
+               cur_q, cur_p,
                ps_l, ps_r, rho, s_cum,
-               prop_q, prop_g, sub_q, sub_g,
+               prop_q, sub_q,
                ckpt_s, ckpt_ps, colf, coli):
         i = pl.program_id(0)
         if use_prng:
@@ -115,13 +115,16 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
         zi = jnp.zeros((bc, 1), jnp.int32)
         onei = jnp.ones((bc, 1), jnp.int32)
 
-        # trajectory init: the single initial leaf
-        left_q[:] = q0; left_p[:] = p0; left_g[:] = g0
-        right_q[:] = q0; right_p[:] = p0; right_g[:] = g0
+        # trajectory init: the single initial leaf.  Gradients are never
+        # stored: grad = -lam*q is recomputed where needed (saves five
+        # [BC, D] VMEM buffers, the difference between fitting and
+        # overflowing scoped VMEM at larger tiles).
+        left_q[:] = q0; left_p[:] = p0
+        right_q[:] = q0; right_p[:] = p0
         ps_l[:] = ps0; ps_r[:] = ps0
         rho[:] = p0
-        prop_q[:] = q0; prop_g[:] = g0
-        sub_q[:] = q0; sub_g[:] = g0
+        prop_q[:] = q0
+        sub_q[:] = q0
 
         def setf(idx, v):
             colf[:, idx:idx + 1] = v
@@ -159,8 +162,9 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 signi = sign.astype(jnp.int32)
                 eps_signed = sign * getf(EPS)
 
-                # leapfrog (kinetic_energy.jl:126-163 math)
-                q = cur_q[:]; p = cur_p[:]; g = cur_g[:]
+                # leapfrog (kinetic_energy.jl:126-163 math); grad recomputed
+                q = cur_q[:]; p = cur_p[:]
+                g = -(lam * q)
                 half = 0.5 * eps_signed
                 p_mid = p + half * g
                 q_new = q + eps_signed * (minv * p_mid)
@@ -227,7 +231,6 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 takeb = jnp.logical_and(upd, take)
                 takef = takeb.astype(jnp.float32)
                 sub_q[:] = takef * q_new + (1.0 - takef) * sub_q[:]
-                sub_g[:] = takef * g_new + (1.0 - takef) * sub_g[:]
                 setf(SUB_DELTA, jnp.where(takeb, delta, getf(SUB_DELTA)))
                 setf(SUB_LOGP, jnp.where(takeb, logp_new, getf(SUB_LOGP)))
                 setf(OMEGA_SUB, jnp.where(upd, omega_new, getf(OMEGA_SUB)))
@@ -235,7 +238,6 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 # frontier + failure records
                 cur_q[:] = maskf * q_new + (1.0 - maskf) * q
                 cur_p[:] = maskf * p_new + (1.0 - maskf) * p
-                cur_g[:] = maskf * g_new + (1.0 - maskf) * g
                 died_div = jnp.logical_and(mask, divergent)
                 died_turn = jnp.logical_and(mask, turning)
                 died = jnp.logical_or(died_div, died_turn)
@@ -262,7 +264,6 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
             sign = 2.0 * isff - 1.0
             cur_q[:] = isff * right_q[:] + (1.0 - isff) * left_q[:]
             cur_p[:] = isff * right_p[:] + (1.0 - isff) * left_p[:]
-            cur_g[:] = isff * right_g[:] + (1.0 - isff) * left_g[:]
             s_cum[:] = jnp.zeros((bc, dpad), jnp.float32)
             setf(SIGN, sign)
             setf(OMEGA_SUB, jnp.full((bc, 1), neg_inf))
@@ -283,7 +284,6 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
             take2 = jnp.logical_and(m, jnp.log(u2) < (getf(OMEGA_SUB) - getf(OMEGA)))
             t2f = take2.astype(jnp.float32)
             prop_q[:] = t2f * sub_q[:] + (1.0 - t2f) * prop_q[:]
-            prop_g[:] = t2f * sub_g[:] + (1.0 - t2f) * prop_g[:]
             setf(PROP_DELTA, jnp.where(take2, getf(SUB_DELTA), getf(PROP_DELTA)))
             setf(PROP_LOGP, jnp.where(take2, getf(SUB_LOGP), getf(PROP_LOGP)))
             setf(OMEGA, jnp.where(m, jnp.logaddexp(getf(OMEGA), getf(OMEGA_SUB)),
@@ -299,10 +299,8 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
             i_end = geti(I_BASE) + (1 << d) * sign.astype(jnp.int32)
             right_q[:] = grf * cur_q[:] + (1.0 - grf) * right_q[:]
             right_p[:] = grf * cur_p[:] + (1.0 - grf) * right_p[:]
-            right_g[:] = grf * cur_g[:] + (1.0 - grf) * right_g[:]
             left_q[:] = glf * cur_q[:] + (1.0 - glf) * left_q[:]
             left_p[:] = glf * cur_p[:] + (1.0 - glf) * left_p[:]
-            left_g[:] = glf * cur_g[:] + (1.0 - glf) * left_g[:]
             ps_r[:] = grf * ps_end + (1.0 - grf) * ps_r[:]
             ps_l[:] = glf * ps_end + (1.0 - glf) * ps_l[:]
             seti(I_RIGHT, jnp.where(grow_r, i_end, geti(I_RIGHT)))
@@ -337,7 +335,7 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 doubling_block(d)
 
         out_q[:] = prop_q[:]
-        out_grad[:] = prop_g[:]
+        out_grad[:] = -(lam * prop_q[:])
         out_logp[:] = getf(PROP_LOGP)
         out_energy[:] = getf(PROP_DELTA) + getf(PI0)
         out_lsa[:] = getf(LSA)
@@ -389,12 +387,14 @@ def _transition_padded(q0, p0, eps, dirs, seed, lam, minv,
             jax.ShapeDtypeStruct((cpad, 1), i32),      # steps
         ],
         scratch_shapes=[
-            *[pltpu.VMEM((block_c, dpad), f32) for _ in range(17)],
+            *[pltpu.VMEM((block_c, dpad), f32) for _ in range(12)],
             pltpu.VMEM((block_c, md1, dpad), f32),
             pltpu.VMEM((block_c, md1, dpad), f32),
             pltpu.VMEM((block_c, 16), f32),
             pltpu.VMEM((block_c, 16), i32),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(q0, p0, eps, dirs, seed, lam, minv)
 
