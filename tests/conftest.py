@@ -20,3 +20,21 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compile_cache_growth():
+    """The full suite compiles hundreds of executables (plus interpret-mode
+    Pallas kernels); without trimming, accumulated compiler state can abort
+    the CPU client late in the run.  Drop jax caches and the kernel cache
+    after each test module."""
+    yield
+    jax.clear_caches()
+    try:
+        from inplacedhmc_tpu import sample as _s
+        _s._KERNEL_CACHE.clear()
+    except Exception:
+        pass
