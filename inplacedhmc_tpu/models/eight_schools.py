@@ -8,11 +8,42 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+import numpy as _np
+
 from .base import Model
 
 # Classic data (Rubin 1981): treatment effects and standard errors.
 Y = jnp.asarray([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0])
 SIGMA = jnp.asarray([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
+
+
+def _tile_logp(q, refs):
+    """Whole-tile log density for the Pallas whole-tree kernel
+    (ops/tree_pallas.py): layout [mu, log_tau, z_1..z_8] with Y/SIGMA data
+    rows aligned to the z lanes; gradient comes from in-kernel autodiff."""
+    y = refs["y"][0:1, :]
+    sig = refs["sig"][0:1, :]
+    om = refs["obs_mask"][0:1, :]
+    mu = q[:, 0:1]
+    log_tau = q[:, 1:2]
+    tau = jnp.exp(log_tau)
+    theta = mu + tau * q                      # meaningful only where om == 1
+    lp = -0.5 * (mu / 10.0) ** 2 - jnp.log1p((tau / 5.0) ** 2) + log_tau
+    lp = lp - 0.5 * jnp.sum(om * q * q, axis=1, keepdims=True)
+    resid = (y - theta) / (sig + (1.0 - om))
+    lp = lp - 0.5 * jnp.sum(om * resid * resid, axis=1, keepdims=True)
+    return lp
+
+
+def _tile_data(dim):
+    n = int(Y.shape[0])
+    y = _np.zeros((1, dim), _np.float32)
+    sig = _np.zeros((1, dim), _np.float32)
+    om = _np.zeros((1, dim), _np.float32)
+    y[0, 2:2 + n] = _np.asarray(Y)
+    sig[0, 2:2 + n] = _np.asarray(SIGMA)
+    om[0, 2:2 + n] = 1.0
+    return {"y": y, "sig": sig, "obs_mask": om}
 
 
 def eight_schools() -> Model:
@@ -42,4 +73,6 @@ def eight_schools() -> Model:
         theta = mu[..., None] + tau[..., None] * z
         return {"mu": mu, "tau": tau, "theta": theta}
 
-    return Model(name="eight_schools", dim=dim, logp=logp, constrain=constrain)
+    return Model(name="eight_schools", dim=dim, logp=logp, constrain=constrain,
+                 structure={"kind": "tile_logp", "tile_logp": _tile_logp,
+                            "data": _tile_data(dim)})

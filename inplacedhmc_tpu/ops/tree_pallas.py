@@ -18,8 +18,13 @@ work), the within-subtree leaf loop is a static-bound ``fori_loop`` of
 ``2^d`` iterations, and all per-chain state lives in VMEM scratch refs — the
 within-subtree U-turn check at depth ``d`` unrolls at most ``d`` levels.
 
-Scope: models with ``grad = -Lambda * q`` (the standard/diagonal normal
-benchmark family), diagonal metric, float32.  Semantics are identical to
+Scope: any model whose log density is expressible as a pure jnp function of
+the chain tile plus VMEM-resident data arrays ("tile physics") — gradients are
+generated *inside the kernel* by jax.grad of the summed tile log density.
+`make_gaussian_tree_transition` covers the diag-Gaussian benchmark family;
+`make_tree_transition` accepts arbitrary tile physics (see
+`models/eight_schools.py` for a non-trivial example).  Diagonal metric,
+float32.  Semantics are identical to
 ``nuts/tree.py`` (same checkpoint-slot scheme, same biased/unbiased
 progressive combines, same termination records, validated leaf-for-leaf
 against the recursive oracle in ``tests/test_tree_pallas.py``); only the
@@ -64,7 +69,10 @@ def _uniform_from_bits(shape):
 
 def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                  term_max_depth: int, term_div: int, term_turn: int,
-                 use_prng: bool = True):
+                 physics=None, n_data: int = 1, use_prng: bool = True):
+    """``physics(q_tile, data_refs) -> (logp [bc,1], grad [bc,dpad])`` — the
+    model's fused value+gradient on a chain tile; evaluated once per leapfrog
+    step, once per subtree start (frontier grad), and once at the end."""
     md1 = max_depth + 1
 
     def _u(shape):
@@ -88,39 +96,40 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
         y = jnp.bitwise_and(jnp.bitwise_not(x), x + 1) - 1
         return _popcount(y)
 
-    def kernel(q0_ref, p0_ref, eps_ref, dirs_ref, seed_ref, lam_ref, minv_ref,
-               out_q, out_logp, out_grad, out_energy, out_lsa,
-               out_term, out_tl, out_tr, out_depth, out_steps,
-               left_q, left_p, right_q, right_p,
-               cur_q, cur_p,
-               ps_l, ps_r, rho, s_cum,
-               prop_q, sub_q,
-               ckpt_s, ckpt_ps, colf, coli):
+    def kernel(q0_ref, p0_ref, eps_ref, dirs_ref, seed_ref, minv_ref,
+               *rest):
+        data_refs = rest[:n_data]
+        (out_q, out_logp, out_grad, out_energy, out_lsa,
+         out_term, out_tl, out_tr, out_depth, out_steps,
+         left_q, left_p, right_q, right_p,
+         cur_q, cur_p, cur_g,
+         ps_l, ps_r, rho, s_cum,
+         prop_q, sub_q,
+         ckpt_s, ckpt_ps, colf, coli) = rest[n_data:]
         i = pl.program_id(0)
         if use_prng:
             pltpu.prng_seed(seed_ref[0] + i)
 
-        lam = lam_ref[0:1, :]
         minv = minv_ref[0:1, :]
         q0 = q0_ref[:]
         p0 = p0_ref[:]
 
-        logp0 = -0.5 * jnp.sum(lam * q0 * q0, axis=1, keepdims=True)
+        logp0, g0 = physics(q0, data_refs)
         kin0 = 0.5 * jnp.sum(minv * p0 * p0, axis=1, keepdims=True)
         pi0 = logp0 - kin0
-        g0 = -(lam * q0)
         ps0 = minv * p0
         neg_inf = jnp.float32(-jnp.inf)
         zf = jnp.zeros((bc, 1), jnp.float32)
         zi = jnp.zeros((bc, 1), jnp.int32)
         onei = jnp.ones((bc, 1), jnp.int32)
 
-        # trajectory init: the single initial leaf.  Gradients are never
-        # stored: grad = -lam*q is recomputed where needed (saves five
-        # [BC, D] VMEM buffers, the difference between fitting and
-        # overflowing scoped VMEM at larger tiles).
+        # trajectory init: the single initial leaf.  Only the frontier's
+        # gradient is stored (cur_g); endpoint/proposal grads are recomputed
+        # by one physics call per subtree / per transition, keeping VMEM at
+        # 13 [BC, D] buffers.
         left_q[:] = q0; left_p[:] = p0
         right_q[:] = q0; right_p[:] = p0
+        cur_g[:] = g0
         ps_l[:] = ps0; ps_r[:] = ps0
         rho[:] = p0
         prop_q[:] = q0
@@ -162,17 +171,14 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 signi = sign.astype(jnp.int32)
                 eps_signed = sign * getf(EPS)
 
-                # leapfrog (kinetic_energy.jl:126-163 math); grad recomputed
-                q = cur_q[:]; p = cur_p[:]
-                g = -(lam * q)
+                # leapfrog (kinetic_energy.jl:126-163 math)
+                q = cur_q[:]; p = cur_p[:]; g = cur_g[:]
                 half = 0.5 * eps_signed
                 p_mid = p + half * g
                 q_new = q + eps_signed * (minv * p_mid)
-                g_new = -(lam * q_new)
+                logp_new, g_new = physics(q_new, data_refs)
                 p_new = p_mid + half * g_new
                 ps_new = minv * p_new
-                logp_new = -0.5 * jnp.sum(lam * q_new * q_new, axis=1,
-                                          keepdims=True)
                 kin_new = 0.5 * jnp.sum(p_new * ps_new, axis=1, keepdims=True)
                 delta = (logp_new - kin_new) - getf(PI0)
                 delta = jnp.where(jnp.isnan(delta), neg_inf, delta)
@@ -238,6 +244,7 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 # frontier + failure records
                 cur_q[:] = maskf * q_new + (1.0 - maskf) * q
                 cur_p[:] = maskf * p_new + (1.0 - maskf) * p
+                cur_g[:] = maskf * g_new + (1.0 - maskf) * g
                 died_div = jnp.logical_and(mask, divergent)
                 died_turn = jnp.logical_and(mask, turning)
                 died = jnp.logical_or(died_div, died_turn)
@@ -264,6 +271,8 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
             sign = 2.0 * isff - 1.0
             cur_q[:] = isff * right_q[:] + (1.0 - isff) * left_q[:]
             cur_p[:] = isff * right_p[:] + (1.0 - isff) * left_p[:]
+            _, g_front = physics(cur_q[:], data_refs)
+            cur_g[:] = g_front
             s_cum[:] = jnp.zeros((bc, dpad), jnp.float32)
             setf(SIGN, sign)
             setf(OMEGA_SUB, jnp.full((bc, 1), neg_inf))
@@ -335,7 +344,8 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 doubling_block(d)
 
         out_q[:] = prop_q[:]
-        out_grad[:] = -(lam * prop_q[:])
+        _, g_out = physics(prop_q[:], data_refs)
+        out_grad[:] = g_out
         out_logp[:] = getf(PROP_LOGP)
         out_energy[:] = getf(PROP_DELTA) + getf(PI0)
         out_lsa[:] = getf(LSA)
@@ -348,103 +358,163 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
     return kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("block_c", "max_depth", "min_delta",
-                                    "interpret"))
-def _transition_padded(q0, p0, eps, dirs, seed, lam, minv,
-                       block_c: int, max_depth: int, min_delta: float,
-                       interpret: bool = False):
+def _build_transition_padded(physics, data_arrays, max_depth: int,
+                             min_delta: float, block_c: int, interpret: bool):
+    """Construct the jitted padded-transition function for one physics/data
+    configuration.  ``data_arrays``: tuple of 2-D f32 arrays passed whole into
+    VMEM (model data: design matrices, observations, masks...)."""
     from ..core.state import Termination
 
-    cpad, dpad = q0.shape
+    n_data = len(data_arrays)
     md1 = max_depth + 1
-    grid = (cpad // block_c,)
-    vec = pl.BlockSpec((block_c, dpad), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    col = pl.BlockSpec((block_c, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    row = pl.BlockSpec((1, dpad), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
-
-    kernel = _make_kernel(block_c, dpad, max_depth, min_delta,
-                          Termination.MAX_DEPTH, Termination.DIVERGENCE,
-                          Termination.TURNING, use_prng=not interpret)
     f32 = jnp.float32
     i32 = jnp.int32
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[vec, vec, col, col, smem1, row, row],
-        out_specs=[vec, col, vec, col, col, col, col, col, col, col],
-        out_shape=[
-            jax.ShapeDtypeStruct((cpad, dpad), f32),   # q
-            jax.ShapeDtypeStruct((cpad, 1), f32),      # logp
-            jax.ShapeDtypeStruct((cpad, dpad), f32),   # grad
-            jax.ShapeDtypeStruct((cpad, 1), f32),      # energy
-            jax.ShapeDtypeStruct((cpad, 1), f32),      # log_sum_alpha
-            jax.ShapeDtypeStruct((cpad, 1), i32),      # term
-            jax.ShapeDtypeStruct((cpad, 1), i32),      # tl
-            jax.ShapeDtypeStruct((cpad, 1), i32),      # tr
-            jax.ShapeDtypeStruct((cpad, 1), i32),      # depth
-            jax.ShapeDtypeStruct((cpad, 1), i32),      # steps
-        ],
-        scratch_shapes=[
-            *[pltpu.VMEM((block_c, dpad), f32) for _ in range(12)],
-            pltpu.VMEM((block_c, md1, dpad), f32),
-            pltpu.VMEM((block_c, md1, dpad), f32),
-            pltpu.VMEM((block_c, 16), f32),
-            pltpu.VMEM((block_c, 16), i32),
-        ],
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(q0, p0, eps, dirs, seed, lam, minv)
+
+    kernel = _make_kernel(block_c, 0, max_depth, min_delta,
+                          Termination.MAX_DEPTH, Termination.DIVERGENCE,
+                          Termination.TURNING, physics=physics, n_data=n_data,
+                          use_prng=not interpret)
+
+    @jax.jit
+    def run(q0, p0, eps, dirs, seed, minv, *data):
+        cpad, dpad = q0.shape
+        grid = (cpad // block_c,)
+        vec = pl.BlockSpec((block_c, dpad), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        col = pl.BlockSpec((block_c, 1), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        row = pl.BlockSpec((1, dpad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
+        data_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in data]
+
+        # the kernel closes over block_c but reads dpad from ref shapes; a
+        # fresh _make_kernel per dpad keeps the unrolled code exact
+        k = _make_kernel(block_c, dpad, max_depth, min_delta,
+                         Termination.MAX_DEPTH, Termination.DIVERGENCE,
+                         Termination.TURNING, physics=physics, n_data=n_data,
+                         use_prng=not interpret)
+        return pl.pallas_call(
+            k,
+            grid=grid,
+            in_specs=[vec, vec, col, col, smem1, row, *data_specs],
+            out_specs=[vec, col, vec, col, col, col, col, col, col, col],
+            out_shape=[
+                jax.ShapeDtypeStruct((cpad, dpad), f32),   # q
+                jax.ShapeDtypeStruct((cpad, 1), f32),      # logp
+                jax.ShapeDtypeStruct((cpad, dpad), f32),   # grad
+                jax.ShapeDtypeStruct((cpad, 1), f32),      # energy
+                jax.ShapeDtypeStruct((cpad, 1), f32),      # log_sum_alpha
+                jax.ShapeDtypeStruct((cpad, 1), i32),      # term
+                jax.ShapeDtypeStruct((cpad, 1), i32),      # tl
+                jax.ShapeDtypeStruct((cpad, 1), i32),      # tr
+                jax.ShapeDtypeStruct((cpad, 1), i32),      # depth
+                jax.ShapeDtypeStruct((cpad, 1), i32),      # steps
+            ],
+            scratch_shapes=[
+                *[pltpu.VMEM((block_c, dpad), f32) for _ in range(13)],
+                pltpu.VMEM((block_c, md1, dpad), f32),
+                pltpu.VMEM((block_c, md1, dpad), f32),
+                pltpu.VMEM((block_c, 16), f32),
+                pltpu.VMEM((block_c, 16), i32),
+            ],
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(q0, p0, eps, dirs, seed, minv, *data)
+
+    return run
 
 
-def make_gaussian_tree_transition(precision, metric_inv, *, max_depth: int = 10,
-                                  min_delta: float = -1000.0,
-                                  block_c: int = 256, interpret: bool = False):
-    """Build a whole-transition kernel closure for ``grad = -precision*q``.
+_RUN_CACHE: dict = {}
 
-    Returns ``transition(key, z: EvalPoint, eps, *, directions=None,
-    momentum=None) -> (EvalPoint, TreeStats)`` matching
-    :func:`inplacedhmc_tpu.nuts.tree.nuts_transition` semantics (momentum and
-    direction bits are drawn with ``jax.random`` outside the kernel, exactly
-    like the reference's ``sample_tree``; only the proposal uniforms use the
-    in-kernel PRNG).
+
+def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
+                         max_depth: int = 10, min_delta: float = -1000.0,
+                         block_c: int = 256, interpret: bool = False):
+    """Whole-transition kernel for **arbitrary tile physics**.
+
+    ``tile_logp(q_tile [BC, dpad], data: dict[str, Ref]) -> logp [BC, 1]``
+    must be a pure jnp function; the gradient is generated inside the kernel
+    via ``jax.grad`` of the summed tile log density (per-chain densities are
+    independent, so the grad of the sum is the per-chain gradient).  ``data``
+    maps names to 2-D f32 arrays (auto-padded to (8k, 128k) tiles; zeros in
+    the pad).  Lane hygiene is automatic: ``q`` is masked to the real ``dim``
+    lanes before ``tile_logp`` and the generated gradient is masked after, so
+    padded lanes can never contaminate the dynamics.
+
+    Returns ``transition(key, z, eps, *, directions=None, momentum=None)``
+    with :func:`inplacedhmc_tpu.nuts.tree.nuts_transition` semantics.
     """
     from ..core.state import EvalPoint, TreeStats
 
-    precision = jnp.asarray(precision, jnp.float32)
-    d = precision.shape[0]
-    dpad = _round_up(d, 128)
-    lam = jnp.zeros((1, dpad), jnp.float32).at[0, :d].set(precision)
+    dpad = _round_up(dim, 128)
     minv_vec = jnp.asarray(metric_inv, jnp.float32)
-    minv = jnp.zeros((1, dpad), jnp.float32).at[0, :d].set(minv_vec)
+    minv = jnp.zeros((1, dpad), jnp.float32).at[0, :dim].set(minv_vec)
     sqrt_mass = 1.0 / jnp.sqrt(minv_vec)
+    lane_mask = jnp.zeros((1, dpad), jnp.float32).at[0, :dim].set(1.0)
+
+    names = sorted(data)
+    padded = []
+    for name in names:
+        arr = jnp.asarray(data[name], jnp.float32)
+        if arr.ndim == 1:
+            arr = arr[None, :]
+        assert arr.ndim == 2, f"data[{name!r}] must be 1-D or 2-D"
+        r = _round_up(max(arr.shape[0], 1), 8)
+        cpd = _round_up(arr.shape[1], 128)
+        padded.append(jnp.zeros((r, cpd), jnp.float32)
+                      .at[:arr.shape[0], :arr.shape[1]].set(arr))
+    padded = tuple(padded)
+    n_data = len(padded) + 1  # + lane mask (always the last data ref)
+
+    # cache the built (and later jit-compiled) runner by static config so a
+    # metric re-estimate between warmup stages does not trigger a recompile:
+    # the metric is a runtime argument of `run`
+    cache_key = (tile_logp, tuple(names), tuple(a.shape for a in padded),
+                 dim, max_depth, float(min_delta), block_c, interpret)
+    if cache_key in _RUN_CACHE:
+        run = _RUN_CACHE[cache_key]
+    else:
+        def physics(q, data_refs):
+            refs = {name: data_refs[k] for k, name in enumerate(names)}
+            mask = data_refs[-1][0:1, :]
+            q_eff = q * mask
+
+            def total(qq):
+                return jnp.sum(tile_logp(qq, refs))
+
+            logp = tile_logp(q_eff, refs)
+            grad = jax.grad(total)(q_eff) * mask
+            return logp, grad
+
+        run = _build_transition_padded(physics, padded + (lane_mask,),
+                                       max_depth, min_delta, block_c, interpret)
+        _RUN_CACHE[cache_key] = run
 
     def transition(key, z, eps, *, directions=None, momentum=None):
         c = z.q.shape[0]
-        assert z.q.shape[1] == d
+        assert z.q.shape[1] == dim
         cpad = _round_up(max(c, 8), min(block_c, _round_up(c, 8)))
         bc = min(block_c, cpad)
         cpad = _round_up(cpad, bc)
+        assert bc == block_c or cpad == bc, "n_chains must fill the tile"
 
         key, k_p, k_dir, k_seed = jax.random.split(key, 4)
         if momentum is None:
-            momentum = sqrt_mass * jax.random.normal(k_p, (c, d), jnp.float32)
+            momentum = sqrt_mass * jax.random.normal(k_p, (c, dim), jnp.float32)
         if directions is None:
             directions = jax.random.bits(k_dir, (c,), jnp.uint32)
         seed = jax.random.randint(k_seed, (1,), 0, 2**31 - 1, jnp.int32)
 
-        q0 = jnp.zeros((cpad, dpad), jnp.float32).at[:c, :d].set(z.q)
-        p0 = jnp.zeros((cpad, dpad), jnp.float32).at[:c, :d].set(momentum)
+        q0 = jnp.zeros((cpad, dpad), jnp.float32).at[:c, :dim].set(z.q)
+        p0 = jnp.zeros((cpad, dpad), jnp.float32).at[:c, :dim].set(momentum)
         epsc = jnp.zeros((cpad, 1), jnp.float32).at[:c, 0].set(
             jnp.broadcast_to(jnp.asarray(eps, jnp.float32), (c,)))
         dirsc = jnp.zeros((cpad, 1), jnp.int32).at[:c, 0].set(
             directions.astype(jnp.int32))
 
-        (q, logp, grad, energy, lsa, term, tl, tr, depth, steps) = \
-            _transition_padded(q0, p0, epsc, dirsc, seed, lam, minv,
-                               bc, max_depth, float(min_delta), interpret)
+        (q, logp, grad, energy, lsa, term, tl, tr, depth, steps) = run(
+            q0, p0, epsc, dirsc, seed, minv, *padded, lane_mask)
 
         steps_c = steps[:c, 0]
         accept = jnp.minimum(
@@ -454,7 +524,27 @@ def make_gaussian_tree_transition(precision, metric_inv, *, max_depth: int = 10,
             energy=energy[:c, 0], acceptance_rate=accept,
             termination=term[:c, 0], term_left=tl[:c, 0], term_right=tr[:c, 0],
             depth=depth[:c, 0], steps=steps_c)
-        z_new = EvalPoint(q=q[:c, :d], logp=logp[:c, 0], grad=grad[:c, :d])
+        z_new = EvalPoint(q=q[:c, :dim], logp=logp[:c, 0], grad=grad[:c, :dim])
         return z_new, stats
 
     return transition
+
+
+def _gaussian_tile_logp(q, refs):
+    lam = refs["lam"][0:1, :]
+    return -0.5 * jnp.sum(lam * q * q, axis=1, keepdims=True)
+
+
+def make_gaussian_tree_transition(precision, metric_inv, *, max_depth: int = 10,
+                                  min_delta: float = -1000.0,
+                                  block_c: int = 256, interpret: bool = False):
+    """Whole-transition kernel for ``grad = -precision * q`` targets — the
+    flagship benchmark configuration, built on :func:`make_tree_transition`.
+    The module-level ``_gaussian_tile_logp`` keeps the build cache shared
+    across metric updates."""
+    precision = jnp.asarray(precision, jnp.float32)
+    d = precision.shape[0]
+    return make_tree_transition(_gaussian_tile_logp, {"lam": precision}, d,
+                                metric_inv, max_depth=max_depth,
+                                min_delta=min_delta, block_c=block_c,
+                                interpret=interpret)

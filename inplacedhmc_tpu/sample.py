@@ -80,21 +80,27 @@ class NUTSKernel:
         self.step_factory = None
         self.transition_factory = None
         if use_pallas == "tree" and st is not None \
-                and st.get("kind") == "diag_gaussian":
+                and st.get("kind") in ("diag_gaussian", "tile_logp"):
             # whole-transition Pallas kernel (ops/tree_pallas.py): the entire
             # NUTS tree runs in VMEM.  Opt-in; single-device diag-metric f32.
             from .core.metric import DiagMetric
-            from .ops.tree_pallas import make_gaussian_tree_transition
-            prec = st["precision"]
+            from .ops.tree_pallas import (make_gaussian_tree_transition,
+                                          make_tree_transition)
             algo = self.algorithm
+            kind = st.get("kind")
+            dim = model.dim
 
             def tree_factory(metric):
-                if (isinstance(metric, DiagMetric) and metric.inv.ndim == 1
+                if not (isinstance(metric, DiagMetric) and metric.inv.ndim == 1
                         and metric.inv.dtype == jnp.float32):
+                    return None
+                if kind == "diag_gaussian":
                     return make_gaussian_tree_transition(
-                        prec, metric.inv, max_depth=algo.max_depth,
+                        st["precision"], metric.inv, max_depth=algo.max_depth,
                         min_delta=algo.min_delta)
-                return None
+                return make_tree_transition(
+                    st["tile_logp"], st["data"], dim, metric.inv,
+                    max_depth=algo.max_depth, min_delta=algo.min_delta)
 
             self.transition_factory = tree_factory
         elif use_pallas in ("on", "interpret") and st is not None:
