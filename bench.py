@@ -86,10 +86,12 @@ def bench_logistic_ess_per_sec(n_chains=2048, n_obs=10_000, n_feat=50,
 
     x, y, _ = synthetic_data(jax.random.PRNGKey(0), n_obs, n_feat, dtype)
     model = logistic_regression(x, y)
+    # stage lengths chosen to minimize distinct compiles (the wall-clock cost
+    # through the remote-compile tunnel): {50-None, 50-dense, 100-dense}
     stages = default_warmup_stages(
         stepsize_adaptation=DualAveraging(),
-        init_steps=40, middle_steps=25, doubling_stages=3,
-        terminating_steps=25, metric="dense")
+        init_steps=50, middle_steps=50, doubling_stages=2,
+        terminating_steps=50, metric="dense")
     kern = _kernel(model, NUTS(), True, None)
 
     # compile warmup + sampling once on small draws to exclude compile time
