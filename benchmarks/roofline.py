@@ -11,8 +11,12 @@ Run:  python benchmarks/roofline.py [--quick]
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# allow `python benchmarks/roofline.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
