@@ -230,7 +230,11 @@ class NUTSKernel:
             dtype=jnp.float32,
             reporter=None,
             thin: int = 1,
+            draw_block: Optional[int] = None,
             collect_warmup_stats: bool = True) -> MCMCResult:
+        """``draw_block``: split sampling into device calls of at most this
+        many draws — bounds single-execution wall time (remote runtimes kill
+        multi-minute calls) and gives per-block progress reporting."""
         reporter = reporter or NoProgressReport()
         if warmup_stages is None:
             warmup_stages = default_warmup_stages()
@@ -240,7 +244,26 @@ class NUTSKernel:
         state, warmup_stats = self.warmup(k_warm, state, warmup_stages, reporter)
         reporter.start_stage(f"sampling {n_draws} draws x {n_chains} chains"
                              + (f" (thin {thin})" if thin > 1 else ""), n_draws)
-        out = self._sampling_fn(n_draws, thin)(k_sample, state)
+        if draw_block is None or draw_block >= n_draws:
+            out = self._sampling_fn(n_draws, thin)(k_sample, state)
+        else:
+            blocks = []
+            done = 0
+            z_cur = state.z
+            while done < n_draws:
+                nb = min(draw_block, n_draws - done)
+                k_sample, kb = jax.random.split(k_sample)
+                blk = self._sampling_fn(nb, thin)(
+                    kb, WarmupState(z=z_cur, metric=state.metric,
+                                    log_eps=state.log_eps))
+                z_cur = blk.z
+                blocks.append(blk)
+                done += nb
+                reporter.step(done)
+            out = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0) if xs[0].ndim else xs[0],
+                *blocks)
+            out = out._replace(z=z_cur)
         reporter.end_stage()
         ws = None
         if collect_warmup_stats and warmup_stats:

@@ -172,3 +172,20 @@ def test_result_invariants_validate():
         depth=np.asarray(res.stats.depth).copy() * 0 + 99)
     from inplacedhmc_tpu.utils.validate import validate_tree_stats
     assert validate_tree_stats(bad_stats) != []
+
+
+def test_draw_block_chunked_sampling_matches_shapes():
+    """draw_block splits sampling into bounded device calls; draws stitch to
+    the same [N, C, D] result and the chain state threads through blocks."""
+    from inplacedhmc_tpu.sample import _kernel
+    from inplacedhmc_tpu.config import NUTS as NUTSConfig
+    model = std_normal(4)
+    kern = _kernel(model, NUTSConfig(), True, None, use_pallas="off")
+    res = kern.run(jax.random.PRNGKey(11), n_draws=90, n_chains=4,
+                   warmup_stages=short_stages(), dtype=jnp.float64,
+                   draw_block=40)
+    assert res.draws.shape == (90, 4, 4)
+    flat = np.asarray(res.draws).reshape(-1, 4)
+    np.testing.assert_allclose(flat.var(0), 1.0, atol=0.35)
+    # consecutive blocks must not restart from the same state
+    assert not np.allclose(np.asarray(res.draws)[39], np.asarray(res.draws)[40])
