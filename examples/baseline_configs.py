@@ -113,7 +113,8 @@ def run_stoch_vol(scale):
                                    middle_steps=50)
     t0 = time.perf_counter()
     res = mcmc_with_warmup(jax.random.PRNGKey(6), model, n, c,
-                           warmup_stages=stages, dtype=jnp.float32)
+                           warmup_stages=stages, dtype=jnp.float32)  # see
+    # results_round1.jsonl: the recorded long run uses thin=2 + draw_block
     wall = time.perf_counter() - t0
     post = model.constrain(res.draws)
     checks = {"phi_post_mean": round(float(np.asarray(post["phi"]).mean()), 3),
