@@ -297,7 +297,8 @@ def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
                      eps: Optional[float] = None,
                      dtype=jnp.float32,
                      reporter=None,
-                     thin: int = 1) -> MCMCResult:
+                     thin: int = 1,
+                     draw_block: Optional[int] = None) -> MCMCResult:
     """NUTS with the default windowed warmup (``mcmc_with_warmup``,
     ``mcmc.jl:109-128``).  ``delta`` is the dual-averaging target acceptance
     rate (the reference's ``δ`` kwarg, ``mcmc.jl:110-111``)."""
@@ -309,7 +310,7 @@ def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
     kern = _kernel(model, algorithm, pooled, None)
     return kern.run(key, n_draws, n_chains, warmup_stages=warmup_stages,
                     q=q, metric=metric, eps=eps, dtype=dtype, reporter=reporter,
-                    thin=thin)
+                    thin=thin, draw_block=draw_block)
 
 
 def threaded_mcmc(key, model: Model, n_draws: int, n_chains: int, *,
