@@ -118,8 +118,9 @@ def bench_logistic_ess_per_sec(n_chains=2048, n_obs=10_000, n_feat=50,
 
 def _load_local_baseline():
     """Previous-round headline value, for vs_baseline tracking across rounds."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "bench_baseline.json")
+    base_dir = os.path.dirname(os.path.abspath(__file__)) if "__file__" in globals() \
+        else os.getcwd()
+    path = os.path.join(base_dir, "bench_baseline.json")
     try:
         with open(path) as f:
             return json.load(f).get("leapfrog_steps_per_sec_10k_chains")
