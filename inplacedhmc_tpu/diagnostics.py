@@ -89,6 +89,27 @@ def divergence_fraction(stats: TreeStats) -> float:
     return float(np.mean(np.asarray(stats.termination) == Termination.DIVERGENCE))
 
 
+def lockstep_utilization(stats: TreeStats, max_depth: int = 10) -> float:
+    """Fraction of executed lockstep leaf-iterations that did useful work.
+
+    The lockstep tree (nuts/tree.py docstring) runs every chain until the
+    *slowest* chain's trajectory terminates: per transition the loop executes
+    ``2^(d_exit) - 1`` leaf iterations where ``d_exit`` is the deepest
+    doubling any chain completed (+1 unless capped at ``max_depth``), while a
+    chain only *uses* ``steps`` of them.  This estimates
+    ``mean(steps) / executed`` from recorded statistics — the telemetry for
+    the straggler economics discussed in docs/DESIGN.md §3.
+    """
+    steps = np.asarray(stats.steps, np.float64)
+    depth = np.asarray(stats.depth)
+    if steps.ndim == 1:
+        steps = steps[None]
+        depth = depth[None]
+    d_exit = np.minimum(depth.max(axis=-1) + 1, max_depth)  # [N]
+    executed = (1 << d_exit.astype(np.int64)) - 1
+    return float(np.mean(steps.mean(axis=-1) / np.maximum(executed, 1)))
+
+
 # ---------------------------------------------------------------------------
 # split R-hat and ESS — on-device, jittable (north-star additions)
 # ---------------------------------------------------------------------------

@@ -117,3 +117,20 @@ def test_rank_normalized_rhat_and_tail_ess():
     te = np.asarray(diag.ess_tail(good))
     total = 400 * 8
     assert np.all(te > 0.3 * total), te
+
+
+def test_lockstep_utilization():
+    c = 4
+    stats = TreeStats(
+        energy=jnp.zeros(c), acceptance_rate=jnp.ones(c) * 0.8,
+        termination=jnp.full(c, Termination.TURNING, jnp.int32),
+        term_left=jnp.zeros(c, jnp.int32), term_right=jnp.ones(c, jnp.int32),
+        depth=jnp.asarray([3, 3, 3, 3], jnp.int32),
+        steps=jnp.asarray([15, 15, 15, 15], jnp.int32))
+    # all chains at depth 3 -> d_exit 4 -> executed 15; full utilization
+    assert abs(diag.lockstep_utilization(stats) - 1.0) < 1e-9
+    # one straggler at depth 6 -> executed 127, others still use 15
+    stats2 = stats._replace(depth=jnp.asarray([3, 3, 3, 6], jnp.int32),
+                            steps=jnp.asarray([15, 15, 15, 127], jnp.int32))
+    u = diag.lockstep_utilization(stats2)
+    assert 0.3 < u < 0.5, u
