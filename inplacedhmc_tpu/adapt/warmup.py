@@ -62,6 +62,9 @@ def init_warmup_state(key, potential: Callable, dim: int, n_chains: int,
 # stage: FindLocalOptimum
 # ---------------------------------------------------------------------------
 
+_OPTIMIZE_CACHE: dict = {}
+
+
 def run_local_optimum(key, logp_scalar: Callable, potential: Callable,
                       stage: FindLocalOptimum, state: WarmupState) -> WarmupState:
     """Penalized L-BFGS toward the typical set (``warmup.jl:152-186``).
@@ -70,21 +73,33 @@ def run_local_optimum(key, logp_scalar: Callable, potential: Callable,
     optimized log density is non-finite are restarted from fresh random
     positions with a doubled penalty (``warmup.jl:162-171``), vectorized:
     every retry re-optimizes only via masking, up to ``max_retries``.
+
+    The penalty is a *runtime* argument of one cached jitted optimizer, so
+    retries (and repeated runs on the same model) never recompile the L-BFGS
+    while_loop.
     """
     dim = state.z.q.shape[-1]
     dtype = state.z.q.dtype
 
-    def make_objective(pen):
-        def obj(q):
+    cache_key = (logp_scalar, stage.iterations)
+    if cache_key not in _OPTIMIZE_CACHE:
+        def obj(q, pen):
             val = logp_scalar(q)
             return -(val - 0.5 * pen * jnp.sum(q * q))
-        return jax.value_and_grad(obj)
+
+        vag = jax.value_and_grad(obj)
+
+        @jax.jit
+        def opt(q0, pen):
+            return lbfgs_batched(lambda qq: vag(qq, pen), q0, stage.iterations)
+
+        _OPTIMIZE_CACHE[cache_key] = opt
+    opt = _OPTIMIZE_CACHE[cache_key]
 
     q = state.z.q
     pen = stage.magnitude_penalty
     for attempt in range(stage.max_retries + 1):
-        q_opt, f_opt, _ = lbfgs_batched(make_objective(jnp.asarray(pen, dtype)),
-                                        q, stage.iterations)
+        q_opt, f_opt, _ = opt(q, jnp.asarray(pen, dtype))
         z = evaluate(potential, q_opt)
         bad = ~jnp.isfinite(z.logp)
         if not bool(jnp.any(bad)):

@@ -103,16 +103,22 @@ def regularized_variance(draws: jnp.ndarray, lam, pooled: bool = False,
     """
     n = draws.shape[0]
     if pooled:
-        # One pass over (draws, chains); cross-device via psum of the moments.
+        # Two-pass (centered) moments: the one-pass form s2 - cnt*mean^2
+        # cancels catastrophically in f32 for |mean|/sd over ~4e3 and can
+        # round the variance negative (=> NaN sqrt_mass, silently frozen
+        # chains).  The mean is psum'd first, then the centered second
+        # moment — one extra collective, both O(D).
         cnt = jnp.asarray(n * draws.shape[1], draws.dtype)
         s1 = jnp.sum(draws, axis=(0, 1))
-        s2 = jnp.sum(draws * draws, axis=(0, 1))
         if axis_name is not None:
             cnt = jax.lax.psum(cnt, axis_name)
             s1 = jax.lax.psum(s1, axis_name)
-            s2 = jax.lax.psum(s2, axis_name)
         mean = s1 / cnt
-        var = (s2 - cnt * mean * mean) / (cnt - 1)
+        c = draws - mean
+        s2c = jnp.sum(c * c, axis=(0, 1))
+        if axis_name is not None:
+            s2c = jax.lax.psum(s2c, axis_name)
+        var = s2c / (cnt - 1)
         n_eff = cnt
     else:
         var = jnp.var(draws, axis=0, ddof=1)  # [C, D]
@@ -139,16 +145,21 @@ def regularized_cov(draws: jnp.ndarray, lam, pooled: bool = True,
     n = draws.shape[0]
     d = draws.shape[-1]
     if pooled:
+        # Two-pass centered Gram (see regularized_variance: the one-pass
+        # s2 - cnt*mean*mean^T form loses the diagonal to f32 cancellation
+        # for large |mean|/sd).
         cnt = jnp.asarray(n * draws.shape[1], draws.dtype)
         flat = draws.reshape(-1, d)
         s1 = jnp.sum(flat, axis=0)
-        s2 = flat.T @ flat
         if axis_name is not None:
             cnt = jax.lax.psum(cnt, axis_name)
             s1 = jax.lax.psum(s1, axis_name)
-            s2 = jax.lax.psum(s2, axis_name)
         mean = s1 / cnt
-        cov = (s2 - cnt * jnp.outer(mean, mean)) / (cnt - 1)
+        flatc = flat - mean
+        s2 = flatc.T @ flatc
+        if axis_name is not None:
+            s2 = jax.lax.psum(s2, axis_name)
+        cov = s2 / (cnt - 1)
         n_eff = cnt
     else:
         mean = jnp.mean(draws, axis=0)                       # [C, D]

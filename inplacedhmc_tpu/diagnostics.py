@@ -143,7 +143,7 @@ def _autocov_fft(x: jnp.ndarray) -> jnp.ndarray:
     return acov / n
 
 
-def ess_bulk(draws: jnp.ndarray) -> jnp.ndarray:
+def ess_bulk(draws: jnp.ndarray, cap: bool = True) -> jnp.ndarray:
     """Effective sample size (Geyer initial monotone sequence, split chains).
 
     ``draws``: [N, C, D] → [D].  Stan-style combined autocorrelation
@@ -151,6 +151,11 @@ def ess_bulk(draws: jnp.ndarray) -> jnp.ndarray:
     ``P_k = rho_{2k} + rho_{2k+1}`` are truncated at the first non-positive
     pair and enforced non-increasing; ``tau = -1 + 2 sum_k P_k``;
     ``ESS = M N / tau``.  Fully jnp (FFT on device), jittable.
+
+    ``cap=True`` clips at the total draw count (the conservative default for
+    convergence checks); ``cap=False`` reports the raw ``total/tau``, which
+    can legitimately exceed the draw count for antithetic chains — use it
+    for throughput benchmarking so near-iid posteriors aren't cap-bound.
     """
     n, c, d = draws.shape
     half = n // 2
@@ -173,7 +178,8 @@ def ess_bulk(draws: jnp.ndarray) -> jnp.ndarray:
     tau = -1.0 + 2.0 * jnp.sum(p, axis=0)
     tau = jnp.maximum(tau, 1e-8)
     total = jnp.asarray(m * half, draws.dtype)
-    return jnp.minimum(total / tau, total)
+    ess = total / tau
+    return jnp.minimum(ess, total) if cap else ess
 
 
 def ess_per_second(draws: jnp.ndarray, wall_s: float) -> jnp.ndarray:

@@ -17,10 +17,12 @@ from .base import Model
 def synthetic_data(key, n_obs: int = 10_000, n_features: int = 50,
                    dtype=jnp.float32):
     """Generate a well-specified synthetic dataset with known coefficients."""
-    kx, kb, ky = jax.random.split(key, 3)
+    kx, kmix, kb, ky = jax.random.split(key, 4)
     x = jax.random.normal(kx, (n_obs, n_features), dtype)
     # Mild correlation structure so the dense metric actually matters.
-    mix = 0.3 * jax.random.normal(kb, (n_features, n_features), dtype)
+    # Distinct keys per draw: reusing one key would statistically couple the
+    # design's correlation structure with the true coefficients.
+    mix = 0.3 * jax.random.normal(kmix, (n_features, n_features), dtype)
     x = x + x @ mix / jnp.sqrt(jnp.asarray(n_features, dtype))
     beta_true = jax.random.normal(kb, (n_features,), dtype) * 0.5
     logits = x @ beta_true

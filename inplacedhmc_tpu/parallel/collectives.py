@@ -46,16 +46,20 @@ def split_rhat_sharded(draws_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:
 
     m = _psum(jnp.asarray(m_local, x.dtype), axis_name)
     s1 = _psum(jnp.sum(chain_mean, axis=0), axis_name)
-    s2 = _psum(jnp.sum(chain_mean * chain_mean, axis=0), axis_name)
     w = _psum(jnp.sum(chain_var, axis=0), axis_name) / m
 
+    # centered second moment across chain means: the one-pass
+    # s2 - m*grand^2 form cancels catastrophically in f32 at |mean|/sd ~ 4e3
     grand_mean = s1 / m
-    b = half * (s2 - m * grand_mean * grand_mean) / (m - 1)
+    cm = chain_mean - grand_mean
+    s2c = _psum(jnp.sum(cm * cm, axis=0), axis_name)
+    b = half * s2c / (m - 1)
     var_plus = (half - 1) / half * w + b / half
     return jnp.sqrt(var_plus / w)
 
 
-def ess_bulk_sharded(draws_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+def ess_bulk_sharded(draws_local: jnp.ndarray, axis_name: str,
+                     cap: bool = True) -> jnp.ndarray:
     """Bulk ESS over all chains on all devices (Geyer monotone sequence).
 
     Autocovariances are per-chain and therefore local; only their [half, D]
@@ -74,9 +78,10 @@ def ess_bulk_sharded(draws_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     w = _psum(jnp.sum(chain_var, axis=0), axis_name) / m      # [D]
     chain_mean = jnp.mean(x, axis=0)
     s1 = _psum(jnp.sum(chain_mean, axis=0), axis_name)
-    s2 = _psum(jnp.sum(chain_mean * chain_mean, axis=0), axis_name)
     grand_mean = s1 / m
-    b = half * (s2 - m * grand_mean * grand_mean) / (m - 1)
+    cm = chain_mean - grand_mean  # centered: see split_rhat_sharded
+    s2c = _psum(jnp.sum(cm * cm, axis=0), axis_name)
+    b = half * s2c / (m - 1)
     var_plus = (half - 1) / half * w + b / half
 
     rho = 1.0 - (w[None] - acov_mean) / var_plus[None]        # [half, D]
@@ -89,7 +94,8 @@ def ess_bulk_sharded(draws_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     p = jnp.maximum(p, 0.0)
     tau = jnp.maximum(-1.0 + 2.0 * jnp.sum(p, axis=0), 1e-8)
     total = m * half
-    return jnp.minimum(total / tau, total)
+    ess = total / tau
+    return jnp.minimum(ess, total) if cap else ess
 
 
 def pooled_acceptance(accept_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:

@@ -49,15 +49,31 @@ def test_tree_memory_is_odepth_not_exponential():
 
     z = evaluate(pot, jnp.zeros((c, d), jnp.float32))
     jaxpr = jax.make_jaxpr(step)(jax.random.PRNGKey(0), z)
-    # largest intermediate must be the [C, max_depth, D] stacks, far below 2^16
+    # largest intermediate must be the [C, max_depth, D] stacks, far below
+    # 2^16 — scan every aval in the jaxpr (inputs, outputs, all equation
+    # outvars, and recursively the sub-jaxprs of while/scan/cond params)
     biggest = 0
-    for eqn_var in jax.tree_util.tree_leaves(jaxpr.jaxpr.invars + jaxpr.jaxpr.outvars):
-        pass
-    for v in jaxpr.jaxpr.eqns:
-        for av in v.outvars:
-            if hasattr(av, "aval") and hasattr(av.aval, "shape"):
-                sz = int(np.prod(av.aval.shape)) if av.aval.shape else 1
-                biggest = max(biggest, sz)
+
+    def scan_jaxpr(jx):
+        nonlocal biggest
+        for av in list(jx.invars) + list(jx.outvars) + list(jx.constvars):
+            aval = getattr(av, "aval", None)
+            if aval is not None and hasattr(aval, "shape"):
+                biggest = max(biggest, int(np.prod(aval.shape)) if aval.shape else 1)
+        for eqn in jx.eqns:
+            for av in eqn.outvars:
+                aval = getattr(av, "aval", None)
+                if aval is not None and hasattr(aval, "shape"):
+                    biggest = max(biggest,
+                                  int(np.prod(aval.shape)) if aval.shape else 1)
+            for p in eqn.params.values():
+                for sub in jax.tree_util.tree_leaves(
+                        p, is_leaf=lambda x: hasattr(x, "jaxpr") or hasattr(x, "eqns")):
+                    inner = getattr(sub, "jaxpr", sub)
+                    if hasattr(inner, "eqns"):
+                        scan_jaxpr(inner)
+
+    scan_jaxpr(jaxpr.jaxpr)
     assert biggest <= c * (max_depth + 2) * d * 4, biggest
 
 
