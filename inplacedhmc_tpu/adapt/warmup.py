@@ -166,7 +166,7 @@ def run_tuning(key, potential: Callable, stage: TuningNUTS, algorithm: NUTS,
     da = da_init(stage.stepsize_adaptation, eps0) if adapting else None
     keys = jax.random.split(key, n)
     fused_step = step_factory(state.metric) if step_factory is not None else None
-    fused_trans = (transition_factory(state.metric)
+    fused_trans = (transition_factory(state.metric, state.z.q.shape[0])
                    if transition_factory is not None else None)
 
     def step(carry, k):
@@ -228,7 +228,7 @@ def run_sampling(key, potential: Callable, algorithm: NUTS, state: WarmupState,
     eps = jnp.exp(state.log_eps)
     keys = jax.random.split(key, n_draws * thin).reshape(n_draws, thin, -1)
     fused_step = step_factory(state.metric) if step_factory is not None else None
-    fused_trans = (transition_factory(state.metric)
+    fused_trans = (transition_factory(state.metric, state.z.q.shape[0])
                    if transition_factory is not None else None)
 
     def one(z, k):

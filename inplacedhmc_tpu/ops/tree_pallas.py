@@ -69,10 +69,20 @@ def _uniform_from_bits(shape):
 
 def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                  term_max_depth: int, term_div: int, term_turn: int,
-                 physics=None, n_data: int = 1, use_prng: bool = True):
+                 physics=None, n_data: int = 1, use_prng: bool = True,
+                 dense: bool = False, ckpt_bf16: bool = False):
     """``physics(q_tile, data_refs) -> (logp [bc,1], grad [bc,dpad])`` — the
     model's fused value+gradient on a chain tile; evaluated once per leapfrog
-    step, once per subtree start (frontier grad), and once at the end."""
+    step, once per subtree start (frontier grad), and once at the end.
+
+    ``dense``: the metric ref is a full ``[dpad, dpad]`` M⁻¹ and every
+    ``p♯ = M⁻¹p`` becomes one MXU matmul per leaf (the reference's dense
+    kinetic energy, ``hamiltonian.jl:206-225``); otherwise a ``[1, dpad]``
+    diagonal row.  ``ckpt_bf16``: store the U-turn checkpoint stacks in
+    bfloat16 — halves the dominant VMEM scratch (enables bigger chain tiles);
+    turn *decisions* use the rounded values consistently in both directions,
+    so the termination rule stays symmetric.
+    """
     md1 = max_depth + 1
 
     def _u(shape):
@@ -96,8 +106,10 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
         y = jnp.bitwise_and(jnp.bitwise_not(x), x + 1) - 1
         return _popcount(y)
 
-    def kernel(q0_ref, p0_ref, eps_ref, dirs_ref, seed_ref, minv_ref,
-               *rest):
+    ckpt_dtype = jnp.bfloat16 if ckpt_bf16 else jnp.float32
+
+    def kernel(q0_ref, p0_ref, eps_ref, dirs_ref, valid_ref, seed_ref,
+               minv_ref, *rest):
         data_refs = rest[:n_data]
         (out_q, out_logp, out_grad, out_energy, out_lsa,
          out_term, out_tl, out_tr, out_depth, out_steps,
@@ -110,14 +122,25 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
         if use_prng:
             pltpu.prng_seed(seed_ref[0] + i)
 
-        minv = minv_ref[0:1, :]
+        if dense:
+            minv_mat = minv_ref[:]  # [dpad, dpad]
+
+            def psharp(p):
+                return jnp.dot(p, minv_mat,
+                               preferred_element_type=jnp.float32)
+        else:
+            minv = minv_ref[0:1, :]
+
+            def psharp(p):
+                return minv * p
+
         q0 = q0_ref[:]
         p0 = p0_ref[:]
 
         logp0, g0 = physics(q0, data_refs)
-        kin0 = 0.5 * jnp.sum(minv * p0 * p0, axis=1, keepdims=True)
+        ps0 = psharp(p0)
+        kin0 = 0.5 * jnp.sum(p0 * ps0, axis=1, keepdims=True)
         pi0 = logp0 - kin0
-        ps0 = minv * p0
         neg_inf = jnp.float32(-jnp.inf)
         zf = jnp.zeros((bc, 1), jnp.float32)
         zi = jnp.zeros((bc, 1), jnp.int32)
@@ -156,7 +179,10 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
         seti(STEPS, zi); seti(TERM, zi + term_max_depth)
         seti(TL, onei); seti(TR, zi)  # REACHED_MAX_DEPTH sentinel (1, 0)
         seti(DEPTH, zi)
-        seti(ACTIVE, onei); seti(ALIVE, onei)
+        # padded chain rows start inactive so tiles with padding terminate
+        # with the real chains instead of running all 2^max_depth iterations
+        valid = valid_ref[:]
+        seti(ACTIVE, valid); seti(ALIVE, valid)
         seti(DIED_DIV, zi); seti(DIED_TURN, zi)
         seti(DIE_L, zi); seti(DIE_R, zi)
         seti(DIRS, dirs_ref[:])
@@ -175,10 +201,10 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 q = cur_q[:]; p = cur_p[:]; g = cur_g[:]
                 half = 0.5 * eps_signed
                 p_mid = p + half * g
-                q_new = q + eps_signed * (minv * p_mid)
+                q_new = q + eps_signed * psharp(p_mid)
                 logp_new, g_new = physics(q_new, data_refs)
                 p_new = p_mid + half * g_new
-                ps_new = minv * p_new
+                ps_new = psharp(p_new)
                 kin_new = 0.5 * jnp.sum(p_new * ps_new, axis=1, keepdims=True)
                 delta = (logp_new - kin_new) - getf(PI0)
                 delta = jnp.where(jnp.isnan(delta), neg_inf, delta)
@@ -199,8 +225,10 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 else:
                     slot = jnp.where(n % 2 == 0, _popcount(n >> 1),
                                      jnp.asarray(max_depth, jnp.int32))
-                ckpt_s[:, pl.ds(slot, 1), :] = s_cum[:][:, None, :]
-                ckpt_ps[:, pl.ds(slot, 1), :] = ps_new[:, None, :]
+                ckpt_s[:, pl.ds(slot, 1), :] = \
+                    s_cum[:][:, None, :].astype(ckpt_dtype)
+                ckpt_ps[:, pl.ds(slot, 1), :] = \
+                    ps_new[:, None, :].astype(ckpt_dtype)
                 s_cum[:] = s_cum[:] + maskf * p_new
 
                 # within-subtree U-turn checks, innermost-first; at subtree
@@ -212,12 +240,14 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                     t_ones = _trailing_ones(n)
                     idx_max = _popcount(n >> 1)
                     for m in range(d_level):
-                        valid = m < t_ones
+                        lvl_valid = m < t_ones
                         j = jnp.maximum(idx_max - m, 0)
-                        rho_node = sc - ckpt_s[:, pl.ds(j, 1), :][:, 0, :]
-                        psl = ckpt_ps[:, pl.ds(j, 1), :][:, 0, :]
+                        rho_node = sc - ckpt_s[:, pl.ds(j, 1), :][:, 0, :] \
+                            .astype(jnp.float32)
+                        psl = ckpt_ps[:, pl.ds(j, 1), :][:, 0, :] \
+                            .astype(jnp.float32)
                         t = jnp.logical_and(
-                            valid,
+                            lvl_valid,
                             jnp.logical_or(
                                 jnp.sum(rho_node * psl, axis=1,
                                         keepdims=True) < 0,
@@ -300,7 +330,7 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
 
             sign = getf(SIGN)
             isf2 = sign > 0
-            ps_end = minv * cur_p[:]
+            ps_end = psharp(cur_p[:])
             grow_r = jnp.logical_and(m, isf2)
             grow_l = jnp.logical_and(m, ~isf2)
             grf = grow_r.astype(jnp.float32)
@@ -359,7 +389,8 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
 
 
 def _build_transition_padded(physics, data_arrays, max_depth: int,
-                             min_delta: float, block_c: int, interpret: bool):
+                             min_delta: float, block_c: int, interpret: bool,
+                             dense: bool = False, ckpt_bf16: bool = False):
     """Construct the jitted padded-transition function for one physics/data
     configuration.  ``data_arrays``: tuple of 2-D f32 arrays passed whole into
     VMEM (model data: design matrices, observations, masks...)."""
@@ -369,21 +400,20 @@ def _build_transition_padded(physics, data_arrays, max_depth: int,
     md1 = max_depth + 1
     f32 = jnp.float32
     i32 = jnp.int32
-
-    kernel = _make_kernel(block_c, 0, max_depth, min_delta,
-                          Termination.MAX_DEPTH, Termination.DIVERGENCE,
-                          Termination.TURNING, physics=physics, n_data=n_data,
-                          use_prng=not interpret)
+    ckpt_dtype = jnp.bfloat16 if ckpt_bf16 else f32
 
     @jax.jit
-    def run(q0, p0, eps, dirs, seed, minv, *data):
+    def run(q0, p0, eps, dirs, valid, seed, minv, *data):
         cpad, dpad = q0.shape
         grid = (cpad // block_c,)
         vec = pl.BlockSpec((block_c, dpad), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
         col = pl.BlockSpec((block_c, 1), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-        row = pl.BlockSpec((1, dpad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        # diag metric: one [1, dpad] row; dense: the whole [dpad, dpad] M^-1
+        mspec = (pl.BlockSpec(memory_space=pltpu.VMEM) if dense
+                 else pl.BlockSpec((1, dpad), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM))
         smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
         data_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in data]
 
@@ -392,11 +422,12 @@ def _build_transition_padded(physics, data_arrays, max_depth: int,
         k = _make_kernel(block_c, dpad, max_depth, min_delta,
                          Termination.MAX_DEPTH, Termination.DIVERGENCE,
                          Termination.TURNING, physics=physics, n_data=n_data,
-                         use_prng=not interpret)
+                         use_prng=not interpret, dense=dense,
+                         ckpt_bf16=ckpt_bf16)
         return pl.pallas_call(
             k,
             grid=grid,
-            in_specs=[vec, vec, col, col, smem1, row, *data_specs],
+            in_specs=[vec, vec, col, col, col, smem1, mspec, *data_specs],
             out_specs=[vec, col, vec, col, col, col, col, col, col, col],
             out_shape=[
                 jax.ShapeDtypeStruct((cpad, dpad), f32),   # q
@@ -412,15 +443,15 @@ def _build_transition_padded(physics, data_arrays, max_depth: int,
             ],
             scratch_shapes=[
                 *[pltpu.VMEM((block_c, dpad), f32) for _ in range(13)],
-                pltpu.VMEM((block_c, md1, dpad), f32),
-                pltpu.VMEM((block_c, md1, dpad), f32),
+                pltpu.VMEM((block_c, md1, dpad), ckpt_dtype),
+                pltpu.VMEM((block_c, md1, dpad), ckpt_dtype),
                 pltpu.VMEM((block_c, 16), f32),
                 pltpu.VMEM((block_c, 16), i32),
             ],
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(q0, p0, eps, dirs, seed, minv, *data)
+        )(q0, p0, eps, dirs, valid, seed, minv, *data)
 
     return run
 
@@ -430,7 +461,8 @@ _RUN_CACHE: dict = {}
 
 def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
                          max_depth: int = 10, min_delta: float = -1000.0,
-                         block_c: int = 256, interpret: bool = False):
+                         block_c: int = 256, interpret: bool = False,
+                         ckpt_bf16: bool = False):
     """Whole-transition kernel for **arbitrary tile physics**.
 
     ``tile_logp(q_tile [BC, dpad], data: dict[str, Ref]) -> logp [BC, 1]``
@@ -442,15 +474,34 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
     lanes before ``tile_logp`` and the generated gradient is masked after, so
     padded lanes can never contaminate the dynamics.
 
+    ``metric_inv``: a ``[D]`` diagonal M⁻¹, a ``[D, D]`` dense M⁻¹, or a
+    :class:`~inplacedhmc_tpu.core.metric.DiagMetric`/:class:`DenseMetric`.
+    The dense path runs one ``[BC, dpad] @ [dpad, dpad]`` MXU matmul per
+    ``p♯`` (the reference's dense kinetic energy, ``hamiltonian.jl:206-225``).
+
     Returns ``transition(key, z, eps, *, directions=None, momentum=None)``
     with :func:`inplacedhmc_tpu.nuts.tree.nuts_transition` semantics.
     """
+    from ..core.metric import DenseMetric, DiagMetric, dense_metric
     from ..core.state import EvalPoint, TreeStats
 
     dpad = _round_up(dim, 128)
-    minv_vec = jnp.asarray(metric_inv, jnp.float32)
-    minv = jnp.zeros((1, dpad), jnp.float32).at[0, :dim].set(minv_vec)
-    sqrt_mass = 1.0 / jnp.sqrt(minv_vec)
+    if isinstance(metric_inv, DiagMetric):
+        metric_inv = metric_inv.inv
+    elif isinstance(metric_inv, DenseMetric):
+        metric_inv = metric_inv.inv
+    metric_arr = jnp.asarray(metric_inv, jnp.float32)
+    dense = metric_arr.ndim == 2
+    if dense:
+        met = dense_metric(metric_arr)  # mass_chol for momentum draws
+        minv = jnp.zeros((dpad, dpad), jnp.float32) \
+            .at[:dim, :dim].set(metric_arr)
+        mass_chol = met.mass_chol
+        sqrt_mass = None
+    else:
+        minv = jnp.zeros((1, dpad), jnp.float32).at[0, :dim].set(metric_arr)
+        sqrt_mass = 1.0 / jnp.sqrt(metric_arr)
+        mass_chol = None
     lane_mask = jnp.zeros((1, dpad), jnp.float32).at[0, :dim].set(1.0)
 
     names = sorted(data)
@@ -471,7 +522,8 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
     # metric re-estimate between warmup stages does not trigger a recompile:
     # the metric is a runtime argument of `run`
     cache_key = (tile_logp, tuple(names), tuple(a.shape for a in padded),
-                 dim, max_depth, float(min_delta), block_c, interpret)
+                 dim, max_depth, float(min_delta), block_c, interpret,
+                 dense, ckpt_bf16)
     if cache_key in _RUN_CACHE:
         run = _RUN_CACHE[cache_key]
     else:
@@ -488,7 +540,8 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
             return logp, grad
 
         run = _build_transition_padded(physics, padded + (lane_mask,),
-                                       max_depth, min_delta, block_c, interpret)
+                                       max_depth, min_delta, block_c, interpret,
+                                       dense=dense, ckpt_bf16=ckpt_bf16)
         _RUN_CACHE[cache_key] = run
 
     def transition(key, z, eps, *, directions=None, momentum=None):
@@ -501,7 +554,8 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
 
         key, k_p, k_dir, k_seed = jax.random.split(key, 4)
         if momentum is None:
-            momentum = sqrt_mass * jax.random.normal(k_p, (c, dim), jnp.float32)
+            xi = jax.random.normal(k_p, (c, dim), jnp.float32)
+            momentum = xi @ mass_chol.T if dense else sqrt_mass * xi
         if directions is None:
             directions = jax.random.bits(k_dir, (c,), jnp.uint32)
         seed = jax.random.randint(k_seed, (1,), 0, 2**31 - 1, jnp.int32)
@@ -512,9 +566,10 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
             jnp.broadcast_to(jnp.asarray(eps, jnp.float32), (c,)))
         dirsc = jnp.zeros((cpad, 1), jnp.int32).at[:c, 0].set(
             directions.astype(jnp.int32))
+        validc = jnp.zeros((cpad, 1), jnp.int32).at[:c, 0].set(1)
 
         (q, logp, grad, energy, lsa, term, tl, tr, depth, steps) = run(
-            q0, p0, epsc, dirsc, seed, minv, *padded, lane_mask)
+            q0, p0, epsc, dirsc, validc, seed, minv, *padded, lane_mask)
 
         steps_c = steps[:c, 0]
         accept = jnp.minimum(
@@ -537,7 +592,8 @@ def _gaussian_tile_logp(q, refs):
 
 def make_gaussian_tree_transition(precision, metric_inv, *, max_depth: int = 10,
                                   min_delta: float = -1000.0,
-                                  block_c: int = 256, interpret: bool = False):
+                                  block_c: int = 256, interpret: bool = False,
+                                  ckpt_bf16: bool = False):
     """Whole-transition kernel for ``grad = -precision * q`` targets — the
     flagship benchmark configuration, built on :func:`make_tree_transition`.
     The module-level ``_gaussian_tile_logp`` keeps the build cache shared
@@ -547,4 +603,55 @@ def make_gaussian_tree_transition(precision, metric_inv, *, max_depth: int = 10,
     return make_tree_transition(_gaussian_tile_logp, {"lam": precision}, d,
                                 metric_inv, max_depth=max_depth,
                                 min_delta=min_delta, block_c=block_c,
-                                interpret=interpret)
+                                interpret=interpret, ckpt_bf16=ckpt_bf16)
+
+
+_LOGISTIC_TILE_CACHE: dict = {}
+
+
+def make_logistic_tree_transition(x, y, inv_var, metric_inv, *,
+                                  max_depth: int = 10,
+                                  min_delta: float = -1000.0,
+                                  block_c: int = 128, interpret: bool = False,
+                                  ckpt_bf16: bool = False):
+    """Whole-transition kernel for Bayesian logistic regression — the primary
+    ESS/s benchmark target (BASELINE config 3).
+
+    The design matrix stays **resident in VMEM** as ``Xᵀ`` (``[dpad, N_pad]``,
+    ~5 MB at 10k x 50); every leapfrog leaf runs two MXU matmuls
+    (``eta = q Xᵀ`` forward and the ``sigmoid``-residual contraction the
+    in-kernel ``jax.grad`` generates for the gradient).  Works with diagonal
+    *and* dense metrics (the benchmark config mandates dense,
+    ``BASELINE.json:8``; reference dense path ``hamiltonian.jl:206-225``).
+
+    The tile log density is cached per ``inv_var`` so metric re-estimates
+    between warmup windows reuse the compiled kernel (the metric is a runtime
+    argument).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    n_obs, d = x.shape
+    pk = float(inv_var)
+    if pk not in _LOGISTIC_TILE_CACHE:
+        def tile_logp(q, refs):
+            xt = refs["xt"][:]            # [dpad, npad]
+            yrow = refs["yobs"][0:1, :]   # [1, npad]
+            obs = refs["obsmask"][0:1, :]
+            eta = jnp.dot(q, xt, preferred_element_type=jnp.float32)
+            # y*eta - log(1+exp(eta)), padded observations masked out
+            ll = jnp.sum(obs * (yrow * eta - jnp.logaddexp(0.0, eta)),
+                         axis=1, keepdims=True)
+            return ll - 0.5 * pk * jnp.sum(q * q, axis=1, keepdims=True)
+
+        _LOGISTIC_TILE_CACHE[pk] = tile_logp
+    tile_logp = _LOGISTIC_TILE_CACHE[pk]
+    # Xᵀ rows must align with the q tile's padded lane count (the generic
+    # padder only rounds to (8, 128) tiles)
+    dpad = _round_up(d, 128)
+    xt = jnp.zeros((dpad, n_obs), jnp.float32).at[:d, :].set(x.T)
+    data = {"xt": xt, "yobs": y,
+            "obsmask": jnp.ones((n_obs,), jnp.float32)}
+    return make_tree_transition(tile_logp, data, d, metric_inv,
+                                max_depth=max_depth, min_delta=min_delta,
+                                block_c=block_c, interpret=interpret,
+                                ckpt_bf16=ckpt_bf16)

@@ -53,12 +53,19 @@ class NUTSKernel:
     Reusable across calls: jitted stage functions are cached on this object,
     so the second ``run`` with the same shapes costs no compilation.
 
-    ``use_pallas``: ``"auto"`` (fused Pallas kernels on TPU backends when the
-    model declares a matching ``structure``), ``"on"``, ``"off"``, or
+    ``use_pallas``: ``"auto"`` (on TPU backends: the whole-transition tree
+    kernel when the model/metric qualify **and** the chain count is at or
+    above the measured crossover, the fused potential/leapfrog otherwise),
+    ``"on"`` (fused potential/leapfrog, no tree kernel), ``"tree"`` (force
+    the tree kernel whenever the metric qualifies), ``"off"``, or
     ``"interpret"`` (Pallas interpreter mode, for CPU testing).  The fused
     paths are algebraically identical to the jnp reference path (A/B-tested
-    in tests/test_pallas.py).
+    in tests/test_pallas.py, tests/test_tree_pallas.py).
     """
+
+    #: measured crossover (docs/DESIGN.md §2): the whole-tree kernel wins at
+    #: ~10k chains and loses at ~1k; "auto" engages it from here up.
+    TREE_MIN_CHAINS = 4096
 
     def __init__(self, model: Model, algorithm: NUTS = NUTS(),
                  pooled: bool = True, axis_name: Optional[str] = None,
@@ -71,7 +78,7 @@ class NUTSKernel:
 
         if use_pallas == "auto":
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
-            use_pallas = "on" if on_tpu else "off"
+            use_pallas = "auto" if on_tpu else "off"
         self.use_pallas = use_pallas
         interp = use_pallas == "interpret"
         st = model.structure
@@ -79,31 +86,48 @@ class NUTSKernel:
         self.potential = batched_logdensity_and_grad(model.logp)
         self.step_factory = None
         self.transition_factory = None
-        if use_pallas == "tree" and st is not None \
-                and st.get("kind") in ("diag_gaussian", "tile_logp"):
+
+        tree_kinds = ("diag_gaussian", "tile_logp", "logistic")
+        if use_pallas in ("tree", "auto") and st is not None \
+                and st.get("kind") in tree_kinds:
             # whole-transition Pallas kernel (ops/tree_pallas.py): the entire
-            # NUTS tree runs in VMEM.  Opt-in; single-device diag-metric f32.
-            from .core.metric import DiagMetric
+            # NUTS tree runs in VMEM.  f32, diagonal or dense shared metric.
+            from .core.metric import DenseMetric, DiagMetric
             from .ops.tree_pallas import (make_gaussian_tree_transition,
+                                          make_logistic_tree_transition,
                                           make_tree_transition)
             algo = self.algorithm
             kind = st.get("kind")
             dim = model.dim
+            force = use_pallas == "tree"
+            min_chains = 0 if force else self.TREE_MIN_CHAINS
 
-            def tree_factory(metric):
-                if not (isinstance(metric, DiagMetric) and metric.inv.ndim == 1
-                        and metric.inv.dtype == jnp.float32):
+            def tree_factory(metric, n_chains=None):
+                diag_ok = (isinstance(metric, DiagMetric)
+                           and metric.inv.ndim == 1
+                           and metric.inv.dtype == jnp.float32)
+                dense_ok = (isinstance(metric, DenseMetric)
+                            and metric.inv.ndim == 2
+                            and metric.inv.dtype == jnp.float32)
+                if not (diag_ok or dense_ok):
+                    return None
+                if n_chains is not None and n_chains < min_chains:
                     return None
                 if kind == "diag_gaussian":
                     return make_gaussian_tree_transition(
-                        st["precision"], metric.inv, max_depth=algo.max_depth,
+                        st["precision"], metric, max_depth=algo.max_depth,
                         min_delta=algo.min_delta)
+                if kind == "logistic":
+                    return make_logistic_tree_transition(
+                        st["x"], st["y"], st["inv_var"], metric,
+                        max_depth=algo.max_depth, min_delta=algo.min_delta)
                 return make_tree_transition(
-                    st["tile_logp"], st["data"], dim, metric.inv,
+                    st["tile_logp"], st["data"], dim, metric,
                     max_depth=algo.max_depth, min_delta=algo.min_delta)
 
             self.transition_factory = tree_factory
-        elif use_pallas in ("on", "interpret") and st is not None:
+
+        if use_pallas in ("on", "auto", "interpret") and st is not None:
             if st.get("kind") == "logistic":
                 from .ops.logistic_pallas import make_logistic_potential
                 self.potential = make_logistic_potential(

@@ -150,3 +150,115 @@ def test_eight_schools_tile_physics_matches_xla_tree():
                                   np.asarray(st_ref.steps))
     np.testing.assert_allclose(np.asarray(st_pal.acceptance_rate),
                                np.asarray(st_ref.acceptance_rate), atol=5e-4)
+
+
+def test_pallas_tree_dense_metric_matches_oracle():
+    """Dense M^-1: every p-sharp is a [bc, dpad] @ [dpad, dpad] matmul in the
+    kernel (reference dense kinetic energy, hamiltonian.jl:206-225).  Also
+    exercises the padded-row valid mask: c=10 chains in a block_c=16 tile."""
+    d, c = 6, 10
+    rng = np.random.default_rng(17)
+    prec = (rng.gamma(2.0, size=d) + 0.5).astype(np.float32)
+    a = rng.normal(size=(d, d)).astype(np.float32)
+    minv = (a @ a.T / d + np.eye(d, dtype=np.float32)).astype(np.float32)
+
+    def logp_np(q):
+        return -0.5 * float(q @ (prec * q)), -prec * q
+
+    q0 = rng.normal(size=(c, d)).astype(np.float32)
+    p0 = rng.normal(size=(c, d)).astype(np.float32)
+    dirs = rng.integers(0, 2**32, size=c, dtype=np.uint32)
+
+    lp = jnp.asarray([logp_np(q)[0] for q in q0], jnp.float32)
+    g = jnp.asarray(np.stack([logp_np(q)[1] for q in q0]))
+    z = EvalPoint(q=jnp.asarray(q0), logp=lp, grad=g)
+
+    tr = make_gaussian_tree_transition(jnp.asarray(prec), jnp.asarray(minv),
+                                       max_depth=5, block_c=16, interpret=True)
+    z2, st = tr(jax.random.PRNGKey(1), z, 0.25,
+                directions=jnp.asarray(dirs), momentum=jnp.asarray(p0))
+    for i in range(c):
+        want = oracle_trajectory(logp_np, minv, q0[i], p0[i], 0.25,
+                                 int(dirs[i]), max_depth=5)
+        tag = f"dense chain {i}"
+        assert TERM_NAME[int(st.termination[i])] == want["termination"], tag
+        assert int(st.depth[i]) == want["depth"], tag
+        assert int(st.steps[i]) == want["steps"], tag
+        np.testing.assert_allclose(float(st.acceptance_rate[i]),
+                                   want["accept"], atol=5e-4, err_msg=tag)
+
+
+def test_logistic_tree_kernel_matches_xla_tree():
+    """Logistic tree kernel (X resident in VMEM, MXU matmuls per leaf) vs the
+    XLA tree on the same model, dense metric — the primary benchmark path."""
+    from inplacedhmc_tpu.core.metric import dense_metric
+    from inplacedhmc_tpu.models.logistic import logistic_regression, synthetic_data
+    from inplacedhmc_tpu.nuts.tree import nuts_transition
+    from inplacedhmc_tpu.ops.tree_pallas import make_logistic_tree_transition
+
+    x, y, _ = synthetic_data(jax.random.PRNGKey(0), n_obs=200, n_features=5)
+    model = logistic_regression(x, y)
+    st_m = model.structure
+    c, d = 8, model.dim
+    rng = np.random.default_rng(11)
+    q0 = rng.normal(size=(c, d)).astype(np.float32) * 0.1
+    p0 = rng.normal(size=(c, d)).astype(np.float32)
+    dirs = rng.integers(0, 2**32, size=c, dtype=np.uint32)
+    a = rng.normal(size=(d, d)).astype(np.float32)
+    minv = (a @ a.T / d + np.eye(d, dtype=np.float32)) * 0.05
+    metric = dense_metric(jnp.asarray(minv))
+
+    pot = batched_logdensity_and_grad(model.logp)
+    lp, g = pot(jnp.asarray(q0))
+    z = EvalPoint(q=jnp.asarray(q0), logp=lp, grad=g)
+
+    z_ref, st_ref = nuts_transition(jax.random.PRNGKey(0), pot, metric, z,
+                                    jnp.asarray(0.3, jnp.float32), max_depth=5,
+                                    directions=jnp.asarray(dirs),
+                                    momentum=jnp.asarray(p0))
+    tr = make_logistic_tree_transition(st_m["x"], st_m["y"], st_m["inv_var"],
+                                       metric, max_depth=5, block_c=8,
+                                       interpret=True)
+    z_pal, st_pal = tr(jax.random.PRNGKey(0), z, 0.3,
+                       directions=jnp.asarray(dirs), momentum=jnp.asarray(p0))
+    np.testing.assert_array_equal(np.asarray(st_pal.termination),
+                                  np.asarray(st_ref.termination))
+    np.testing.assert_array_equal(np.asarray(st_pal.depth),
+                                  np.asarray(st_ref.depth))
+    np.testing.assert_array_equal(np.asarray(st_pal.steps),
+                                  np.asarray(st_ref.steps))
+    np.testing.assert_allclose(np.asarray(st_pal.acceptance_rate),
+                               np.asarray(st_ref.acceptance_rate), atol=1e-3)
+
+
+def test_bf16_checkpoint_stacks_agree():
+    """bf16 U-turn checkpoint stacks halve the dominant VMEM scratch; turn
+    decisions change only for knife-edge trajectories, so on a generic seed
+    every observable should match the f32-stack kernel exactly."""
+    d, c = 7, 16
+    rng = np.random.default_rng(23)
+    prec = (rng.gamma(2.0, size=d) + 0.3).astype(np.float32)
+    minv = (rng.gamma(2.0, size=d) + 0.3).astype(np.float32)
+    q0 = rng.normal(size=(c, d)).astype(np.float32)
+    p0 = rng.normal(size=(c, d)).astype(np.float32)
+    dirs = rng.integers(0, 2**32, size=c, dtype=np.uint32)
+
+    def run(bf16):
+        def logp_jax(q):
+            return -0.5 * jnp.sum(q * (jnp.asarray(prec) * q))
+        pot = batched_logdensity_and_grad(logp_jax)
+        lp, g = pot(jnp.asarray(q0))
+        z = EvalPoint(q=jnp.asarray(q0), logp=lp, grad=g)
+        tr = make_gaussian_tree_transition(
+            jnp.asarray(prec), jnp.asarray(minv), max_depth=5, block_c=16,
+            interpret=True, ckpt_bf16=bf16)
+        return tr(jax.random.PRNGKey(5), z, 0.35,
+                  directions=jnp.asarray(dirs), momentum=jnp.asarray(p0))
+
+    (_, st32), (_, st16) = run(False), run(True)
+    agree = np.mean(np.asarray(st32.termination) == np.asarray(st16.termination))
+    assert agree >= 0.9, agree
+    same = np.asarray(st32.termination) == np.asarray(st16.termination)
+    np.testing.assert_allclose(np.asarray(st16.acceptance_rate)[same],
+                               np.asarray(st32.acceptance_rate)[same],
+                               atol=2e-2)
