@@ -91,6 +91,69 @@ def _fused_leapfrog_padded(q, p, eps, lam, minv, block_c: int,
     )(q, p, eps, lam, minv)
 
 
+def _multi_step_kernel(k_steps: int):
+    """k dependent velocity-Verlet steps per launch, state held in VMEM.
+
+    The single-step kernel pays 6 [C, D] HBM transfers per step; here the
+    trajectory stays resident, so HBM traffic is 4 [C, D] arrays per *launch*
+    (q/p in, q/p out) amortized over ``k_steps`` — the standalone-harness
+    analog of how the whole-tree kernel already runs its inner steps
+    launch-free.  This is the kernel that makes the standalone roofline
+    number representative (round-1 verdict #2); the reference's fused loop
+    is ``kinetic_energy.jl:126-163``.
+    """
+
+    def kernel(q_ref, p_ref, eps_ref, lam_ref, minv_ref, qo_ref, po_ref):
+        lam = lam_ref[0:1, :]
+        minv = minv_ref[0:1, :]
+        eps = eps_ref[:]
+        half = 0.5 * eps
+        qo_ref[:] = q_ref[:]
+        po_ref[:] = p_ref[:]
+
+        def body(i, carry):
+            q = qo_ref[:]
+            p = po_ref[:]
+            p_mid = p - half * (lam * q)
+            q_new = q + eps * (minv * p_mid)
+            p_new = p_mid - half * (lam * q_new)
+            qo_ref[:] = q_new
+            po_ref[:] = p_new
+            return 0
+
+        jax.lax.fori_loop(0, k_steps, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k_steps", "block_c", "interpret"))
+def multi_step_leapfrog(q, p, eps, lam, minv, k_steps: int,
+                        block_c: int = 1024, interpret: bool = False):
+    """Run ``k_steps`` dependent leapfrog steps in one kernel launch.
+    ``q``/``p``: [C, D] (lane-padded), ``eps``: [C, 1] signed, ``lam``/
+    ``minv``: [1, D].  Returns ``(q', p')``."""
+    cpad, dpad = q.shape
+    bc = min(block_c, cpad)
+    grid = (cpad // bc,)
+    vec = pl.BlockSpec((bc, dpad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((bc, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, dpad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _multi_step_kernel(k_steps),
+        grid=grid,
+        in_specs=[vec, vec, col, row, row],
+        out_specs=[vec, vec],
+        out_shape=[jax.ShapeDtypeStruct((cpad, dpad), jnp.float32),
+                   jax.ShapeDtypeStruct((cpad, dpad), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * cpad * dpad * k_steps,
+            bytes_accessed=4 * cpad * dpad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, p, eps, lam, minv)
+
+
 def make_fused_gaussian_leapfrog(precision, metric_inv, block_c: int = 512,
                                  interpret: bool = False):
     """Build a fused leapfrog for ``grad = -precision * q`` targets.

@@ -84,15 +84,6 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
     so the termination rule stays symmetric.
     """
     md1 = max_depth + 1
-
-    def _u(shape):
-        # interpret mode (CPU tests) has no TPU PRNG: fixed uniform — proposal
-        # *selection* becomes deterministic; every oracle-compared quantity is
-        # unaffected.
-        if use_prng:
-            return _uniform_from_bits(shape)
-        return jnp.full(shape, 0.5, jnp.float32)
-
     nbits = max(1, max_depth - 1)
 
     def _popcount(x):
@@ -109,7 +100,21 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
     ckpt_dtype = jnp.bfloat16 if ckpt_bf16 else jnp.float32
 
     def kernel(q0_ref, p0_ref, eps_ref, dirs_ref, valid_ref, seed_ref,
-               minv_ref, *rest):
+               *rest):
+        # interpret mode (CPU tests) has no TPU PRNG: proposal uniforms come
+        # in as a per-(leaf, epilogue) stream indexed by the lockstep-global
+        # counter, so sampling stays exact (not degenerate) off-TPU
+        if not use_prng:
+            unif_ref = rest[0]
+            rest = rest[1:]
+        minv_ref = rest[0]
+        rest = rest[1:]
+
+        def _u(idx):
+            if use_prng:
+                return _uniform_from_bits((bc, 1))
+            return unif_ref[idx, :].reshape(bc, 1)
+
         data_refs = rest[:n_data]
         (out_q, out_logp, out_grad, out_energy, out_lsa,
          out_term, out_tl, out_tr, out_depth, out_steps,
@@ -225,10 +230,14 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 else:
                     slot = jnp.where(n % 2 == 0, _popcount(n >> 1),
                                      jnp.asarray(max_depth, jnp.int32))
-                ckpt_s[:, pl.ds(slot, 1), :] = \
-                    s_cum[:][:, None, :].astype(ckpt_dtype)
-                ckpt_ps[:, pl.ds(slot, 1), :] = \
-                    ps_new[:, None, :].astype(ckpt_dtype)
+                # stacks are [md1, bc, dpad]: the dynamic slot index lands on
+                # the untiled leading dim, which Mosaic allows for any dtype
+                # (a dynamic index into a *tiled* dim needs packing-aligned
+                # offsets and rejects bf16)
+                ckpt_s[pl.ds(slot, 1)] = \
+                    s_cum[:][None].astype(ckpt_dtype)
+                ckpt_ps[pl.ds(slot, 1)] = \
+                    ps_new[None].astype(ckpt_dtype)
                 s_cum[:] = s_cum[:] + maskf * p_new
 
                 # within-subtree U-turn checks, innermost-first; at subtree
@@ -242,9 +251,9 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                     for m in range(d_level):
                         lvl_valid = m < t_ones
                         j = jnp.maximum(idx_max - m, 0)
-                        rho_node = sc - ckpt_s[:, pl.ds(j, 1), :][:, 0, :] \
+                        rho_node = sc - ckpt_s[pl.ds(j, 1)][0] \
                             .astype(jnp.float32)
-                        psl = ckpt_ps[:, pl.ds(j, 1), :][:, 0, :] \
+                        psl = ckpt_ps[pl.ds(j, 1)][0] \
                             .astype(jnp.float32)
                         t = jnp.logical_and(
                             lvl_valid,
@@ -261,7 +270,7 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
 
                 # progressive subtree proposal (unbiased multinomial)
                 omega_new = jnp.logaddexp(getf(OMEGA_SUB), delta)
-                u = _u((bc, 1))
+                u = _u((1 << d_level) - 1 + n)
                 take = jnp.log(u) < (delta - omega_new)
                 upd = jnp.logical_and(mask, ~divergent)
                 takeb = jnp.logical_and(upd, take)
@@ -319,7 +328,7 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
             # epilogue (tree.jl:416-438)
             m = geti(ALIVE) > 0
             mf = m.astype(jnp.float32)
-            u2 = _u((bc, 1))
+            u2 = _u((1 << max_depth) - 1 + d)
             take2 = jnp.logical_and(m, jnp.log(u2) < (getf(OMEGA_SUB) - getf(OMEGA)))
             t2f = take2.astype(jnp.float32)
             prop_q[:] = t2f * sub_q[:] + (1.0 - t2f) * prop_q[:]
@@ -402,13 +411,18 @@ def _build_transition_padded(physics, data_arrays, max_depth: int,
     i32 = jnp.int32
     ckpt_dtype = jnp.bfloat16 if ckpt_bf16 else f32
 
+    n_unif = (1 << max_depth) - 1 + max_depth
+
     @jax.jit
-    def run(q0, p0, eps, dirs, valid, seed, minv, *data):
+    def run(q0, p0, eps, dirs, valid, seed, unif, minv, *data):
         cpad, dpad = q0.shape
-        grid = (cpad // block_c,)
-        vec = pl.BlockSpec((block_c, dpad), lambda i: (i, 0),
+        # fewer chains than the configured tile: shrink the tile to the
+        # (8-aligned) input rather than launching a zero-size grid
+        bc = min(block_c, cpad)
+        grid = (cpad // bc,)
+        vec = pl.BlockSpec((bc, dpad), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-        col = pl.BlockSpec((block_c, 1), lambda i: (i, 0),
+        col = pl.BlockSpec((bc, 1), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
         # diag metric: one [1, dpad] row; dense: the whole [dpad, dpad] M^-1
         mspec = (pl.BlockSpec(memory_space=pltpu.VMEM) if dense
@@ -417,17 +431,26 @@ def _build_transition_padded(physics, data_arrays, max_depth: int,
         smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
         data_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in data]
 
-        # the kernel closes over block_c but reads dpad from ref shapes; a
-        # fresh _make_kernel per dpad keeps the unrolled code exact
-        k = _make_kernel(block_c, dpad, max_depth, min_delta,
+        # the kernel closes over bc but reads dpad from ref shapes; a
+        # fresh _make_kernel per (bc, dpad) keeps the unrolled code exact
+        k = _make_kernel(bc, dpad, max_depth, min_delta,
                          Termination.MAX_DEPTH, Termination.DIVERGENCE,
                          Termination.TURNING, physics=physics, n_data=n_data,
                          use_prng=not interpret, dense=dense,
                          ckpt_bf16=ckpt_bf16)
+        if interpret:
+            uspec = pl.BlockSpec((n_unif, bc), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+            in_specs = [vec, vec, col, col, col, smem1, uspec, mspec,
+                        *data_specs]
+            inputs = (q0, p0, eps, dirs, valid, seed, unif, minv, *data)
+        else:
+            in_specs = [vec, vec, col, col, col, smem1, mspec, *data_specs]
+            inputs = (q0, p0, eps, dirs, valid, seed, minv, *data)
         return pl.pallas_call(
             k,
             grid=grid,
-            in_specs=[vec, vec, col, col, col, smem1, mspec, *data_specs],
+            in_specs=in_specs,
             out_specs=[vec, col, vec, col, col, col, col, col, col, col],
             out_shape=[
                 jax.ShapeDtypeStruct((cpad, dpad), f32),   # q
@@ -442,16 +465,16 @@ def _build_transition_padded(physics, data_arrays, max_depth: int,
                 jax.ShapeDtypeStruct((cpad, 1), i32),      # steps
             ],
             scratch_shapes=[
-                *[pltpu.VMEM((block_c, dpad), f32) for _ in range(13)],
-                pltpu.VMEM((block_c, md1, dpad), ckpt_dtype),
-                pltpu.VMEM((block_c, md1, dpad), ckpt_dtype),
-                pltpu.VMEM((block_c, 16), f32),
-                pltpu.VMEM((block_c, 16), i32),
+                *[pltpu.VMEM((bc, dpad), f32) for _ in range(13)],
+                pltpu.VMEM((md1, bc, dpad), ckpt_dtype),
+                pltpu.VMEM((md1, bc, dpad), ckpt_dtype),
+                pltpu.VMEM((bc, 16), f32),
+                pltpu.VMEM((bc, 16), i32),
             ],
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(q0, p0, eps, dirs, valid, seed, minv, *data)
+        )(*inputs)
 
     return run
 
@@ -559,6 +582,11 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
         if directions is None:
             directions = jax.random.bits(k_dir, (c,), jnp.uint32)
         seed = jax.random.randint(k_seed, (1,), 0, 2**31 - 1, jnp.int32)
+        if interpret:
+            n_unif = (1 << max_depth) - 1 + max_depth
+            unif = jax.random.uniform(k_seed, (n_unif, cpad), jnp.float32)
+        else:
+            unif = jnp.zeros((1, 1), jnp.float32)
 
         q0 = jnp.zeros((cpad, dpad), jnp.float32).at[:c, :dim].set(z.q)
         p0 = jnp.zeros((cpad, dpad), jnp.float32).at[:c, :dim].set(momentum)
@@ -569,7 +597,7 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
         validc = jnp.zeros((cpad, 1), jnp.int32).at[:c, 0].set(1)
 
         (q, logp, grad, energy, lsa, term, tl, tr, depth, steps) = run(
-            q0, p0, epsc, dirsc, validc, seed, minv, *padded, lane_mask)
+            q0, p0, epsc, dirsc, validc, seed, unif, minv, *padded, lane_mask)
 
         steps_c = steps[:c, 0]
         accept = jnp.minimum(

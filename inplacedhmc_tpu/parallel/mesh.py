@@ -60,18 +60,24 @@ def shard_by_chain(tree, mesh: Mesh, n_chains: int, axis_name: str = "chain"):
 def run_sharded(key, model, n_draws: int, n_chains: int, *, mesh: Mesh,
                 delta: float = 0.8, algorithm=None, warmup_stages=None,
                 dtype=jnp.float32, q=None, metric=None, eps=None,
-                reporter=None, axis_name: str = "chain"):
-    """Full warmup + sampling with chains sharded over ``mesh``.
+                reporter=None, axis_name: str = "chain", thin: int = 1,
+                draw_block=None, use_pallas: str = "auto",
+                warmup_checkpoint_path=None, sample_checkpoint_path=None):
+    """Full warmup + sampling with chains sharded over ``mesh`` — same driver
+    surface as the single-device path (``thin``, ``draw_block``,
+    checkpointing; the reference's multi-chain driver has the full surface of
+    the single-chain one, ``mcmc.jl:130-159``).
 
-    Uses the GSPMD path: the initial state is placed with chain sharding and
-    every jitted warmup/sampling block is partitioned by XLA; pooled
-    adaptation reductions become global collectives automatically.  Requires
+    Execution: the initial state is placed with chain sharding and every
+    jitted warmup/sampling block is partitioned by XLA (GSPMD); pooled
+    adaptation reductions become global collectives automatically.  Fused
+    whole-transition Pallas kernels do not auto-partition under GSPMD, so
+    when the model/metric qualify they run under an explicit ``shard_map``
+    over the chain axis (one kernel invocation per device shard).  Requires
     ``n_chains % mesh.size == 0``.
     """
     from ..config import NUTS, DualAveraging, default_warmup_stages
-    from ..adapt import warmup as W
-    from ..sample import MCMCResult, _kernel
-    from ..core.state import WarmupState
+    from ..sample import _kernel
 
     assert n_chains % mesh.size == 0, (
         f"n_chains={n_chains} must divide evenly over {mesh.size} devices")
@@ -80,20 +86,13 @@ def run_sharded(key, model, n_draws: int, n_chains: int, *, mesh: Mesh,
         warmup_stages = default_warmup_stages(
             stepsize_adaptation=DualAveraging(delta=delta))
 
-    # pooled adaptation; GSPMD inserts the collectives.  Pallas kernels do
-    # not auto-partition under GSPMD, so the sharded path uses the XLA tree.
-    kern = _kernel(model, algorithm, True, None, use_pallas="off")
-    key, k_init, k_warm, k_sample = jax.random.split(key, 4)
-    state = W.init_warmup_state(k_init, kern.potential, model.dim, n_chains,
-                                dtype, q=q, metric=metric, eps=eps)
-    state = shard_by_chain(state, mesh, n_chains, axis_name)
+    kern = _kernel(model, algorithm, True, None, use_pallas=use_pallas,
+                   shard_mesh=mesh, shard_axis=axis_name)
     with mesh:
-        state, warmup_stats = kern.warmup(k_warm, state, warmup_stages, reporter)
-        out = kern._sampling_fn(n_draws)(k_sample, state)
-    ws = None
-    if warmup_stats:
-        ws = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0),
-                                    *warmup_stats)
-    final_state = WarmupState(z=out.z, metric=state.metric, log_eps=state.log_eps)
-    return MCMCResult(draws=out.draws, stats=out.stats,
-                      warmup_state=final_state, warmup_stats=ws)
+        return kern.run(key, n_draws, n_chains, warmup_stages=warmup_stages,
+                        dtype=dtype, reporter=reporter, thin=thin,
+                        draw_block=draw_block, q=q, metric=metric, eps=eps,
+                        state_transform=lambda st: shard_by_chain(
+                            st, mesh, n_chains, axis_name),
+                        warmup_checkpoint_path=warmup_checkpoint_path,
+                        sample_checkpoint_path=sample_checkpoint_path)

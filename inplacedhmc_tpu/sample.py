@@ -47,6 +47,40 @@ class MCMCResult(NamedTuple):
     warmup_stats: Optional[TreeStats] = None
 
 
+def _shard_map_transition(trans, mesh, axis_name: str):
+    """Wrap a fused whole-transition function so each device runs it on its
+    local chain shard: inputs/outputs are sharded over ``axis_name`` on their
+    leading (chains) dim, the PRNG key is replicated and folded with the
+    device index so shards draw independent randomness."""
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    def spec_of(tree):
+        return jax.tree_util.tree_map(
+            lambda x: P(axis_name, *([None] * (jnp.ndim(x) - 1))), tree)
+
+    def sharded(key, z, eps, *, directions=None, momentum=None):
+        assert directions is None and momentum is None, (
+            "explicit directions/momentum are test-only hooks; the sharded "
+            "path draws them per-device")
+        eps = jnp.asarray(eps, z.q.dtype)
+
+        def local(k, z_loc, eps_loc):
+            k = jax.random.fold_in(k, jax.lax.axis_index(axis_name))
+            return trans(k, z_loc, eps_loc)
+
+        stats_spec = TreeStats(*(P(axis_name) for _ in TreeStats._fields))
+        # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+        # annotation, which the jax>=0.8 vma checker rejects inside shard_map
+        return shard_map(local, mesh=mesh,
+                         in_specs=(P(), spec_of(z), P()),
+                         out_specs=(spec_of(z), stats_spec),
+                         check_vma=False)(key, z, eps)
+
+    return sharded
+
+
 class NUTSKernel:
     """Compiled sampling kernels for one (model, algorithm, adaptation) config.
 
@@ -69,11 +103,19 @@ class NUTSKernel:
 
     def __init__(self, model: Model, algorithm: NUTS = NUTS(),
                  pooled: bool = True, axis_name: Optional[str] = None,
-                 use_pallas: str = "auto"):
+                 use_pallas: str = "auto", shard_mesh=None,
+                 shard_axis: str = "chain"):
+        """``shard_mesh``: a ``jax.sharding.Mesh`` with axis ``shard_axis``;
+        when set, fused Pallas transitions are wrapped in ``shard_map`` so
+        each device runs the kernel on its local chain shard (Pallas calls do
+        not auto-partition under GSPMD — the reference's multi-chain driver
+        analog for the fused path, ``mcmc.jl:130-159``)."""
         self.model = model
         self.algorithm = algorithm
         self.pooled = pooled
         self.axis_name = axis_name
+        self.shard_mesh = shard_mesh
+        self.shard_axis = shard_axis
         self._jit_cache: dict = {}
 
         if use_pallas == "auto":
@@ -101,6 +143,10 @@ class NUTSKernel:
             dim = model.dim
             force = use_pallas == "tree"
             min_chains = 0 if force else self.TREE_MIN_CHAINS
+            # CPU has no Mosaic backend: forced tree mode falls back to the
+            # Pallas interpreter there (for mesh-path tests on virtual devices)
+            tree_interp = interp or jax.default_backend() == "cpu"
+            mesh, axis = self.shard_mesh, self.shard_axis
 
             def tree_factory(metric, n_chains=None):
                 diag_ok = (isinstance(metric, DiagMetric)
@@ -114,16 +160,22 @@ class NUTSKernel:
                 if n_chains is not None and n_chains < min_chains:
                     return None
                 if kind == "diag_gaussian":
-                    return make_gaussian_tree_transition(
+                    trans = make_gaussian_tree_transition(
                         st["precision"], metric, max_depth=algo.max_depth,
-                        min_delta=algo.min_delta)
-                if kind == "logistic":
-                    return make_logistic_tree_transition(
+                        min_delta=algo.min_delta, interpret=tree_interp)
+                elif kind == "logistic":
+                    trans = make_logistic_tree_transition(
                         st["x"], st["y"], st["inv_var"], metric,
-                        max_depth=algo.max_depth, min_delta=algo.min_delta)
-                return make_tree_transition(
-                    st["tile_logp"], st["data"], dim, metric,
-                    max_depth=algo.max_depth, min_delta=algo.min_delta)
+                        max_depth=algo.max_depth, min_delta=algo.min_delta,
+                        interpret=tree_interp)
+                else:
+                    trans = make_tree_transition(
+                        st["tile_logp"], st["data"], dim, metric,
+                        max_depth=algo.max_depth, min_delta=algo.min_delta,
+                        interpret=tree_interp)
+                if mesh is not None:
+                    trans = _shard_map_transition(trans, mesh, axis)
+                return trans
 
             self.transition_factory = tree_factory
 
@@ -255,25 +307,60 @@ class NUTSKernel:
             reporter=None,
             thin: int = 1,
             draw_block: Optional[int] = None,
-            collect_warmup_stats: bool = True) -> MCMCResult:
+            collect_warmup_stats: bool = True,
+            state: Optional[WarmupState] = None,
+            state_transform=None,
+            warmup_checkpoint_path: Optional[str] = None,
+            sample_checkpoint_path: Optional[str] = None) -> MCMCResult:
         """``draw_block``: split sampling into device calls of at most this
         many draws — bounds single-execution wall time (remote runtimes kill
-        multi-minute calls) and gives per-block progress reporting."""
+        multi-minute calls) and gives per-block progress reporting.
+
+        ``state``: start from an already-initialized (possibly device-sharded)
+        :class:`WarmupState` instead of initializing one here.
+        ``state_transform``: applied to the initial state (e.g. device-mesh
+        placement) — unlike ``state=``, keeps this run's RNG stream identical
+        to an untransformed run.
+
+        ``warmup_checkpoint_path`` / ``sample_checkpoint_path``: checkpoint
+        after every warmup stage / sampling block and resume from the file if
+        it exists (``sample_checkpoint_path`` requires ``draw_block``).
+        """
         reporter = reporter or NoProgressReport()
         if warmup_stages is None:
             warmup_stages = default_warmup_stages()
         key, k_init, k_warm, k_sample = jax.random.split(key, 4)
-        state = W.init_warmup_state(k_init, self.potential, self.model.dim,
-                                    n_chains, dtype, q=q, metric=metric, eps=eps)
-        state, warmup_stats = self.warmup(k_warm, state, warmup_stages, reporter)
+        if state is None:
+            state = W.init_warmup_state(k_init, self.potential, self.model.dim,
+                                        n_chains, dtype, q=q, metric=metric,
+                                        eps=eps)
+        if state_transform is not None:
+            state = state_transform(state)
+        if warmup_checkpoint_path is not None:
+            from .utils.checkpoint import warmup_with_checkpoints
+            state, warmup_stats = warmup_with_checkpoints(
+                self, k_warm, state, warmup_stages, warmup_checkpoint_path,
+                reporter)
+        else:
+            state, warmup_stats = self.warmup(k_warm, state, warmup_stages,
+                                              reporter)
         reporter.start_stage(f"sampling {n_draws} draws x {n_chains} chains"
                              + (f" (thin {thin})" if thin > 1 else ""), n_draws)
+        if sample_checkpoint_path is not None and draw_block is None:
+            raise ValueError("sample_checkpoint_path requires draw_block")
         if draw_block is None or draw_block >= n_draws:
             out = self._sampling_fn(n_draws, thin)(k_sample, state)
         else:
+            from .utils.checkpoint import (load_sampling_checkpoint,
+                                           save_sampling_checkpoint)
             blocks = []
             done = 0
             z_cur = state.z
+            if sample_checkpoint_path is not None:
+                resumed = load_sampling_checkpoint(sample_checkpoint_path)
+                if resumed is not None:
+                    z_cur, k_sample, done, blocks = resumed
+                    reporter.step(done)
             while done < n_draws:
                 nb = min(draw_block, n_draws - done)
                 k_sample, kb = jax.random.split(k_sample)
@@ -283,6 +370,9 @@ class NUTSKernel:
                 z_cur = blk.z
                 blocks.append(blk)
                 done += nb
+                if sample_checkpoint_path is not None:
+                    save_sampling_checkpoint(sample_checkpoint_path, z_cur,
+                                             k_sample, done, blocks)
                 reporter.step(done)
             out = jax.tree_util.tree_map(
                 lambda *xs: jnp.concatenate(xs, axis=0) if xs[0].ndim else xs[0],
@@ -303,11 +393,15 @@ _KERNEL_CACHE: dict = {}
 
 def _kernel(model: Model, algorithm: NUTS, pooled: bool,
             axis_name: Optional[str],
-            use_pallas: str = "auto") -> NUTSKernel:
-    key = (model, algorithm, pooled, axis_name, use_pallas)
+            use_pallas: str = "auto", shard_mesh=None,
+            shard_axis: str = "chain") -> NUTSKernel:
+    key = (model, algorithm, pooled, axis_name, use_pallas, shard_mesh,
+           shard_axis)
     if key not in _KERNEL_CACHE:
         _KERNEL_CACHE[key] = NUTSKernel(model, algorithm, pooled, axis_name,
-                                        use_pallas=use_pallas)
+                                        use_pallas=use_pallas,
+                                        shard_mesh=shard_mesh,
+                                        shard_axis=shard_axis)
     return _KERNEL_CACHE[key]
 
 

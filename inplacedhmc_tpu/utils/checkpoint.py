@@ -62,6 +62,47 @@ def load_warmup_checkpoint(path: str) -> Tuple[WarmupState, jnp.ndarray, int]:
     return WarmupState(z=ev, metric=metric, log_eps=log_eps), key, stage_idx
 
 
+def save_sampling_checkpoint(path: str, z: EvalPoint, key, done: int, blocks):
+    """Atomically checkpoint mid-sampling progress: current phase point, RNG
+    key, number of draws completed, and all draws/stats collected so far
+    (the ``draw_block`` loop is the natural checkpoint boundary for long
+    sampling runs — the reference runs to completion in one call,
+    ``mcmc.jl:94-106``, and cannot resume)."""
+    merged = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0) if xs[0].ndim else xs[0],
+        *blocks)
+    payload = {
+        "q": np.asarray(z.q), "logp": np.asarray(z.logp),
+        "grad": np.asarray(z.grad), "key": np.asarray(key),
+        "done": np.asarray(done),
+        "draws": np.asarray(merged.draws),
+    }
+    for name in merged.stats._fields:
+        payload["stat_" + name] = np.asarray(getattr(merged.stats, name))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **payload)
+    os.replace(tmp, path)
+
+
+def load_sampling_checkpoint(path: str):
+    """Load a :func:`save_sampling_checkpoint` file; returns ``(z, key, done,
+    [block])`` with the collected draws repackaged as one block, or ``None``
+    if the file does not exist."""
+    from ..adapt.warmup import SamplingResult
+    from ..core.state import TreeStats
+
+    if not os.path.exists(path):
+        return None
+    with np.load(path, allow_pickle=False) as f:
+        z = EvalPoint(q=jnp.asarray(f["q"]), logp=jnp.asarray(f["logp"]),
+                      grad=jnp.asarray(f["grad"]))
+        stats = TreeStats(**{name: jnp.asarray(f["stat_" + name])
+                             for name in TreeStats._fields})
+        block = SamplingResult(z=z, draws=jnp.asarray(f["draws"]), stats=stats)
+        return z, jnp.asarray(f["key"]), int(f["done"]), [block]
+
+
 def warmup_with_checkpoints(kernel, key, state: WarmupState, stages,
                             path: str, reporter=None):
     """Run ``kernel``'s warmup stage-by-stage, checkpointing after each stage
