@@ -26,7 +26,8 @@ from ..config import (DualAveraging, FindLocalOptimum,
                       InitialStepsizeSearch, NUTS, TuningNUTS)
 from ..core.hamiltonian import evaluate
 from ..core.metric import (Metric, estimate_dense_metric, estimate_diag_metric,
-                           identity_metric, sample_momentum)
+                           estimate_low_rank_metric, identity_metric,
+                           sample_momentum)
 from ..core.state import EvalPoint, PhasePoint, TreeStats, WarmupState
 from ..nuts.tree import nuts_transition
 from .optimize import lbfgs_batched
@@ -197,10 +198,83 @@ def run_tuning(key, potential: Callable, stage: TuningNUTS, algorithm: NUTS,
     elif stage.metric == "dense":
         metric = estimate_dense_metric(qs, stage.lam_value, pooled=pooled,
                                        axis_name=axis_name)
+    elif stage.metric == "low_rank":
+        metric = estimate_low_rank_metric(qs, stage.lam_value, stage.rank,
+                                          axis_name=axis_name)
 
     log_eps = jnp.log(da_final_eps(da)) if adapting else state.log_eps
     new_state = WarmupState(z=z, metric=metric, log_eps=log_eps)
     return TuningResult(state=new_state, draws=qs, stats=stats, eps_log=eps_log)
+
+
+class TuningChunkResult(NamedTuple):
+    z: EvalPoint
+    da: tuple               # dual-averaging carry (None when not adapting)
+    draws: jnp.ndarray      # [n, C, D]
+    stats: TreeStats
+    eps_log: jnp.ndarray
+
+
+def run_tuning_chunk(key, potential: Callable, stage: TuningNUTS,
+                     algorithm: NUTS, state: WarmupState, da, n: int,
+                     pooled: bool = False, axis_name: Optional[str] = None,
+                     step_factory: Optional[Callable] = None,
+                     transition_factory: Optional[Callable] = None
+                     ) -> TuningChunkResult:
+    """``n`` transitions of a tuning window with the dual-averaging carry
+    passed in/out — the unit of in-window progress reporting (the reference
+    reports every ~100 transitions inside a window, ``reporting.jl:90-109``;
+    one chunk = one device call = one reporter tick).  Metric estimation
+    happens once per *window* in :func:`finalize_tuning`."""
+    adapting = isinstance(stage.stepsize_adaptation, DualAveraging)
+    eps0 = jnp.exp(state.log_eps)
+    keys = jax.random.split(key, n)
+    fused_step = step_factory(state.metric) if step_factory is not None else None
+    fused_trans = (transition_factory(state.metric, state.z.q.shape[0])
+                   if transition_factory is not None else None)
+
+    def step(carry, k):
+        z, da = carry
+        eps = da_current_eps(da) if adapting else eps0
+        if fused_trans is not None:
+            z2, stats = fused_trans(k, z, eps)
+        else:
+            z2, stats = nuts_transition(k, potential, state.metric, z, eps,
+                                        max_depth=algorithm.max_depth,
+                                        min_delta=algorithm.min_delta,
+                                        step_fn=fused_step)
+        if adapting:
+            a = stats.acceptance_rate
+            if pooled:
+                a = jnp.mean(a)
+                if axis_name is not None:
+                    a = lax.pmean(a, axis_name)
+            da = da_update(stage.stepsize_adaptation, da, a)
+        return (z2, da), (z2.q, stats, eps)
+
+    (z, da), (qs, stats, eps_log) = lax.scan(step, (state.z, da), keys)
+    return TuningChunkResult(z=z, da=da, draws=qs, stats=stats,
+                             eps_log=eps_log)
+
+
+def finalize_tuning(stage: TuningNUTS, state: WarmupState, z: EvalPoint, da,
+                    qs: jnp.ndarray, pooled: bool = False,
+                    axis_name: Optional[str] = None) -> WarmupState:
+    """Close a tuning window: final eps from the dual-averaging carry and the
+    optional metric re-estimate over the window's draws (``warmup.jl:309``)."""
+    adapting = isinstance(stage.stepsize_adaptation, DualAveraging)
+    metric = state.metric
+    if stage.metric == "diag":
+        metric = estimate_diag_metric(qs, stage.lam_value, pooled=pooled,
+                                      axis_name=axis_name)
+    elif stage.metric == "dense":
+        metric = estimate_dense_metric(qs, stage.lam_value, pooled=pooled,
+                                       axis_name=axis_name)
+    elif stage.metric == "low_rank":
+        metric = estimate_low_rank_metric(qs, stage.lam_value, stage.rank,
+                                          axis_name=axis_name)
+    log_eps = jnp.log(da_final_eps(da)) if adapting else state.log_eps
+    return WarmupState(z=z, metric=metric, log_eps=log_eps)
 
 
 # ---------------------------------------------------------------------------

@@ -101,9 +101,11 @@ class TuningNUTS:
     stepsize_adaptation: Union[DualAveraging, FixedStepsize] = DualAveraging()
     metric: Optional[str] = "diag"
     lam: Optional[float] = None
+    #: rank of the low-rank+diag metric (``metric="low_rank"`` only)
+    rank: int = 16
 
     def __post_init__(self):
-        assert self.metric in (None, "diag", "dense")
+        assert self.metric in (None, "diag", "dense", "low_rank")
         assert self.n > 0
 
     @property
@@ -123,13 +125,15 @@ def default_warmup_stages(
     middle_steps: int = 25,
     doubling_stages: int = 5,
     terminating_steps: int = 50,
+    rank: int = 16,
 ) -> Tuple[WarmupStage, ...]:
     """The reference's default windowed schedule (``warmup.jl:361-372``):
     optimum → stepsize search → 75 → (25, 50, 100, 200, 400 with metric
-    re-estimates) → 50, i.e. 900 warmup transitions by default."""
+    re-estimates) → 50, i.e. 900 warmup transitions by default.
+    ``rank`` applies when ``metric="low_rank"``."""
     middle = tuple(
         TuningNUTS(n=middle_steps << i, stepsize_adaptation=stepsize_adaptation,
-                   metric=metric)
+                   metric=metric, rank=rank)
         for i in range(doubling_stages)
     )
     return tuple(

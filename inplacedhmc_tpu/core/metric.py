@@ -43,7 +43,28 @@ class DenseMetric(NamedTuple):
     mass_chol: jnp.ndarray  # [..., D, D]
 
 
-Metric = Union[DiagMetric, DenseMetric]
+class LowRankMetric(NamedTuple):
+    """Low-rank-plus-diagonal kinetic energy for large-D correlated posteriors.
+
+    ``M⁻¹ = S (I + U diag(w) Uᵀ) S`` with ``S = diag(sqrt(diag_inv))`` and
+    ``U`` orthonormal ``[D, r]`` — the top-``r`` principal directions of the
+    *whitened* warmup draws, ``w = λ - 1`` their excess eigenvalues.  Every
+    kinetic operation is O(D·r) (two thin matmuls — the natural TPU fit)
+    instead of the dense path's O(D²); momentum draws need no Cholesky:
+    ``p = S⁻¹ (ξ + U diag(1/√(1+w) − 1) Uᵀ ξ)`` is exact because for
+    orthonormal ``U``, ``(I + U a Uᵀ)² = I + U((1+a)²−1)Uᵀ``.
+
+    TPU-native extension of the reference's dense ``Symmetric`` option
+    (``warmup.jl:217-234``) to the D≈10³ regime (stochastic volatility,
+    BASELINE config 5).
+    """
+
+    diag_inv: jnp.ndarray   # [D]   diagonal part of M⁻¹ (whitening scales²)
+    u: jnp.ndarray          # [D, r] orthonormal principal directions
+    w: jnp.ndarray          # [r]   excess eigenvalues (> -1)
+
+
+Metric = Union[DiagMetric, DenseMetric, LowRankMetric]
 
 
 def identity_metric(dim: int, dtype=jnp.float32, m_inv: float = 1.0) -> DiagMetric:
@@ -68,6 +89,11 @@ def kinetic_energy(metric: Metric, p: jnp.ndarray) -> jnp.ndarray:
     """``K(p) = ½ pᵀ M⁻¹ p`` (``kinetic_energy.jl:14-24``).  ``p``: [C, D] → [C]."""
     if isinstance(metric, DiagMetric):
         return 0.5 * jnp.sum(p * metric.inv * p, axis=-1)
+    if isinstance(metric, LowRankMetric):
+        y = p * jnp.sqrt(metric.diag_inv)
+        yu = y @ metric.u
+        return 0.5 * (jnp.sum(y * y, axis=-1)
+                      + jnp.sum(metric.w * yu * yu, axis=-1))
     return 0.5 * jnp.einsum("...i,...ij,...j->...", p, metric.inv, p)
 
 
@@ -75,6 +101,10 @@ def psharp(metric: Metric, p: jnp.ndarray) -> jnp.ndarray:
     """``p♯ = M⁻¹ p`` used by the U-turn diagnostic (``kinetic_energy.jl:31-46``)."""
     if isinstance(metric, DiagMetric):
         return metric.inv * p
+    if isinstance(metric, LowRankMetric):
+        s = jnp.sqrt(metric.diag_inv)
+        y = p * s
+        return (y + ((y @ metric.u) * metric.w) @ metric.u.T) * s
     return jnp.einsum("...ij,...j->...i", metric.inv, p)
 
 
@@ -83,6 +113,10 @@ def sample_momentum(metric: Metric, key, shape, dtype) -> jnp.ndarray:
     xi = jax.random.normal(key, shape, dtype)
     if isinstance(metric, DiagMetric):
         return metric.sqrt_mass * xi
+    if isinstance(metric, LowRankMetric):
+        a = 1.0 / jnp.sqrt(1.0 + metric.w) - 1.0
+        return (xi + ((xi @ metric.u) * a) @ metric.u.T) \
+            / jnp.sqrt(metric.diag_inv)
     return jnp.einsum("...ij,...j->...i", metric.mass_chol, xi)
 
 
@@ -174,3 +208,40 @@ def regularized_cov(draws: jnp.ndarray, lam, pooled: bool = True,
 def estimate_dense_metric(draws: jnp.ndarray, lam, pooled: bool = True,
                           axis_name: str | None = None) -> DenseMetric:
     return dense_metric(regularized_cov(draws, lam, pooled, axis_name))
+
+
+def estimate_low_rank_metric(draws: jnp.ndarray, lam, rank: int,
+                             axis_name: str | None = None) -> LowRankMetric:
+    """Low-rank+diag metric from a tuning window's draws (always pooled —
+    a per-chain [C, D, r] eigenbasis would defeat the memory point).
+
+    Diagonal part = the regularized variances (:func:`regularized_variance`);
+    low-rank part = the top-``rank`` eigenpairs (by |log λ|, so strongly
+    *contracted* directions count too) of the whitened draw covariance,
+    eigenvalues shrunk toward 1 with the same ``N/(N+λ)`` weight the
+    reference applies to variances (``hamiltonian.jl:155-159``).  One [D, D]
+    Gram matmul + one ``eigh`` per window; cross-device moments via ``psum``.
+    """
+    n, c, d = draws.shape
+    diag_inv = regularized_variance(draws, lam, pooled=True,
+                                    axis_name=axis_name)
+    cnt = jnp.asarray(n * c, draws.dtype)
+    s1 = jnp.sum(draws, axis=(0, 1))
+    if axis_name is not None:
+        cnt = jax.lax.psum(cnt, axis_name)
+        s1 = jax.lax.psum(s1, axis_name)
+    mean = s1 / cnt
+    xw = (draws - mean) / jnp.sqrt(diag_inv)
+    gram = jnp.einsum("ncd,nce->de", xw, xw)
+    if axis_name is not None:
+        gram = jax.lax.psum(gram, axis_name)
+    cov_w = gram / (cnt - 1)
+    lam = jnp.asarray(lam, draws.dtype)
+    evals, evecs = jnp.linalg.eigh(cov_w)
+    evals = jnp.maximum(evals, 1e-6)
+    evals = evals * (cnt / (cnt + lam)) + lam / (cnt + lam)
+    # keep the rank directions most different from the whitened identity
+    order = jnp.argsort(jnp.abs(jnp.log(evals)))[::-1][:rank]
+    u = jnp.take(evecs, order, axis=1)              # [D, r]
+    w = jnp.take(evals, order) - 1.0                # [r]
+    return LowRankMetric(diag_inv=diag_inv, u=u, w=w)

@@ -620,7 +620,7 @@ def _gaussian_tile_logp(q, refs):
 
 def make_gaussian_tree_transition(precision, metric_inv, *, max_depth: int = 10,
                                   min_delta: float = -1000.0,
-                                  block_c: int = 256, interpret: bool = False,
+                                  block_c: int = 512, interpret: bool = False,
                                   ckpt_bf16: bool = False):
     """Whole-transition kernel for ``grad = -precision * q`` targets — the
     flagship benchmark configuration, built on :func:`make_tree_transition`.

@@ -61,7 +61,7 @@ def run_sharded(key, model, n_draws: int, n_chains: int, *, mesh: Mesh,
                 delta: float = 0.8, algorithm=None, warmup_stages=None,
                 dtype=jnp.float32, q=None, metric=None, eps=None,
                 reporter=None, axis_name: str = "chain", thin: int = 1,
-                draw_block=None, use_pallas: str = "auto",
+                draw_block=None, tuning_chunk=None, use_pallas: str = "auto",
                 warmup_checkpoint_path=None, sample_checkpoint_path=None):
     """Full warmup + sampling with chains sharded over ``mesh`` — same driver
     surface as the single-device path (``thin``, ``draw_block``,
@@ -91,7 +91,8 @@ def run_sharded(key, model, n_draws: int, n_chains: int, *, mesh: Mesh,
     with mesh:
         return kern.run(key, n_draws, n_chains, warmup_stages=warmup_stages,
                         dtype=dtype, reporter=reporter, thin=thin,
-                        draw_block=draw_block, q=q, metric=metric, eps=eps,
+                        draw_block=draw_block, tuning_chunk=tuning_chunk,
+                        q=q, metric=metric, eps=eps,
                         state_transform=lambda st: shard_by_chain(
                             st, mesh, n_chains, axis_name),
                         warmup_checkpoint_path=warmup_checkpoint_path,

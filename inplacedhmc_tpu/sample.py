@@ -129,9 +129,17 @@ class NUTSKernel:
         self.step_factory = None
         self.transition_factory = None
 
-        tree_kinds = ("diag_gaussian", "tile_logp", "logistic")
+        # "auto" engages the whole-tree kernel only for models where it
+        # measures faster: small-D elementwise targets at high chain counts.
+        # Matmul-dominated models (logistic) measured SLOWER in the kernel
+        # (benchmarks/logistic_ab_c2048.json: 3.8M vs 6.1M steps/s — the
+        # D=50->128 lane padding costs 2.5x MXU work), so they stay on the
+        # XLA tree + fused Pallas potential unless forced with "tree".
+        auto_kinds = ("diag_gaussian", "tile_logp")
+        tree_kinds = auto_kinds + ("logistic",)
+        wanted = tree_kinds if use_pallas == "tree" else auto_kinds
         if use_pallas in ("tree", "auto") and st is not None \
-                and st.get("kind") in tree_kinds:
+                and st.get("kind") in wanted:
             # whole-transition Pallas kernel (ops/tree_pallas.py): the entire
             # NUTS tree runs in VMEM.  f32, diagonal or dense shared metric.
             from .core.metric import DenseMetric, DiagMetric
@@ -214,6 +222,27 @@ class NUTSKernel:
                 lambda k, state: f(k, state=state), donate_argnums=(1,))
         return self._jit_cache[key]
 
+    def _tuning_chunk_fn(self, stage: TuningNUTS, n: int):
+        key = ("tuning_chunk", stage, n)
+        if key not in self._jit_cache:
+            f = functools.partial(W.run_tuning_chunk, potential=self.potential,
+                                  stage=stage, algorithm=self.algorithm, n=n,
+                                  pooled=self.pooled, axis_name=self.axis_name,
+                                  step_factory=self.step_factory,
+                                  transition_factory=self.transition_factory)
+            self._jit_cache[key] = jax.jit(
+                lambda k, state, da: f(k, state=state, da=da))
+        return self._jit_cache[key]
+
+    def _finalize_tuning_fn(self, stage: TuningNUTS):
+        key = ("finalize_tuning", stage)
+        if key not in self._jit_cache:
+            f = functools.partial(W.finalize_tuning, stage=stage,
+                                  pooled=self.pooled, axis_name=self.axis_name)
+            self._jit_cache[key] = jax.jit(
+                lambda state, z, da, qs: f(state=state, z=z, da=da, qs=qs))
+        return self._jit_cache[key]
+
     def _search_fn(self, stage: InitialStepsizeSearch):
         key = ("search", stage)
         if key not in self._jit_cache:
@@ -262,9 +291,16 @@ class NUTSKernel:
 
     # -- driver ---------------------------------------------------------------
 
-    def warmup(self, key, state: WarmupState, stages: Sequence, reporter=None
+    def warmup(self, key, state: WarmupState, stages: Sequence, reporter=None,
+               tuning_chunk: Optional[int] = None
                ) -> Tuple[WarmupState, list]:
-        """Run the stage sequence (the ``_warmup!`` unroller, ``warmup.jl:397-408``)."""
+        """Run the stage sequence (the ``_warmup!`` unroller, ``warmup.jl:397-408``).
+
+        ``tuning_chunk``: split each TuningNUTS window into device calls of at
+        most this many transitions, with a reporter tick per chunk — the
+        reference's in-window progress (``reporting.jl:90-109``); the
+        dual-averaging carry threads across chunks, the metric estimate still
+        uses the whole window's draws."""
         reporter = reporter or NoProgressReport()
         warmup_stats = []
         for stage in stages:
@@ -289,9 +325,32 @@ class NUTSKernel:
                     raise ValueError(
                         "TuningNUTS stage needs an eps: provide `eps=` in "
                         "initialization or keep InitialStepsizeSearch in the schedule")
-                res = self._tuning_fn(stage)(sub, state)
-                state = res.state
-                warmup_stats.append(res.stats)
+                if tuning_chunk is None or tuning_chunk >= stage.n:
+                    res = self._tuning_fn(stage)(sub, state)
+                    state = res.state
+                    warmup_stats.append(res.stats)
+                else:
+                    adapting = isinstance(stage.stepsize_adaptation,
+                                          DualAveraging)
+                    da = (W.da_init(stage.stepsize_adaptation,
+                                    jnp.exp(state.log_eps))
+                          if adapting else None)
+                    z_cur, done, parts = state.z, 0, []
+                    while done < stage.n:
+                        nb = min(tuning_chunk, stage.n - done)
+                        sub, kb = jax.random.split(sub)
+                        res = self._tuning_chunk_fn(stage, nb)(
+                            kb, state._replace(z=z_cur), da)
+                        z_cur, da = res.z, res.da
+                        parts.append(res)
+                        done += nb
+                        reporter.step(done)
+                    qs = jnp.concatenate([r.draws for r in parts], axis=0)
+                    warmup_stats.append(jax.tree_util.tree_map(
+                        lambda *xs: jnp.concatenate(xs, axis=0),
+                        *[r.stats for r in parts]))
+                    state = self._finalize_tuning_fn(stage)(state, z_cur, da,
+                                                            qs)
                 eps = float(jnp.exp(jnp.atleast_1d(state.log_eps))[0])
                 reporter.end_stage(eps=eps)
             else:
@@ -307,6 +366,7 @@ class NUTSKernel:
             reporter=None,
             thin: int = 1,
             draw_block: Optional[int] = None,
+            tuning_chunk: Optional[int] = None,
             collect_warmup_stats: bool = True,
             state: Optional[WarmupState] = None,
             state_transform=None,
@@ -340,10 +400,11 @@ class NUTSKernel:
             from .utils.checkpoint import warmup_with_checkpoints
             state, warmup_stats = warmup_with_checkpoints(
                 self, k_warm, state, warmup_stages, warmup_checkpoint_path,
-                reporter)
+                reporter, tuning_chunk=tuning_chunk)
         else:
             state, warmup_stats = self.warmup(k_warm, state, warmup_stages,
-                                              reporter)
+                                              reporter,
+                                              tuning_chunk=tuning_chunk)
         reporter.start_stage(f"sampling {n_draws} draws x {n_chains} chains"
                              + (f" (thin {thin})" if thin > 1 else ""), n_draws)
         if sample_checkpoint_path is not None and draw_block is None:
@@ -416,7 +477,10 @@ def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
                      dtype=jnp.float32,
                      reporter=None,
                      thin: int = 1,
-                     draw_block: Optional[int] = None) -> MCMCResult:
+                     draw_block: Optional[int] = None,
+                     tuning_chunk: Optional[int] = None,
+                     warmup_checkpoint_path: Optional[str] = None,
+                     sample_checkpoint_path: Optional[str] = None) -> MCMCResult:
     """NUTS with the default windowed warmup (``mcmc_with_warmup``,
     ``mcmc.jl:109-128``).  ``delta`` is the dual-averaging target acceptance
     rate (the reference's ``δ`` kwarg, ``mcmc.jl:110-111``)."""
@@ -428,7 +492,10 @@ def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
     kern = _kernel(model, algorithm, pooled, None)
     return kern.run(key, n_draws, n_chains, warmup_stages=warmup_stages,
                     q=q, metric=metric, eps=eps, dtype=dtype, reporter=reporter,
-                    thin=thin, draw_block=draw_block)
+                    thin=thin, draw_block=draw_block,
+                    tuning_chunk=tuning_chunk,
+                    warmup_checkpoint_path=warmup_checkpoint_path,
+                    sample_checkpoint_path=sample_checkpoint_path)
 
 
 def threaded_mcmc(key, model: Model, n_draws: int, n_chains: int, *,

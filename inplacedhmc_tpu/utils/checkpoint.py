@@ -18,25 +18,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.metric import DenseMetric, DiagMetric
+from ..core.metric import DenseMetric, DiagMetric, LowRankMetric
 from ..core.state import EvalPoint, WarmupState
 
 
 def save_warmup_checkpoint(path: str, state: WarmupState, key, stage_idx: int):
     """Atomically write the warmup state to ``path`` (.npz)."""
     metric = state.metric
+    if isinstance(metric, DiagMetric):
+        kind, inv, aux = "diag", metric.inv, metric.sqrt_mass
+    elif isinstance(metric, DenseMetric):
+        kind, inv, aux = "dense", metric.inv, metric.mass_chol
+    else:
+        kind, inv, aux = "low_rank", metric.diag_inv, metric.u
     payload = {
         "q": np.asarray(state.z.q),
         "logp": np.asarray(state.z.logp),
         "grad": np.asarray(state.z.grad),
         "key": np.asarray(key),
         "stage_idx": np.asarray(stage_idx),
-        "metric_kind": np.asarray("diag" if isinstance(metric, DiagMetric) else "dense"),
-        "metric_inv": np.asarray(metric.inv),
-        "metric_aux": np.asarray(metric.sqrt_mass if isinstance(metric, DiagMetric)
-                                 else metric.mass_chol),
+        "metric_kind": np.asarray(kind),
+        "metric_inv": np.asarray(inv),
+        "metric_aux": np.asarray(aux),
         "has_eps": np.asarray(state.log_eps is not None),
     }
+    if isinstance(metric, LowRankMetric):
+        payload["metric_w"] = np.asarray(metric.w)
     if state.log_eps is not None:
         payload["log_eps"] = np.asarray(state.log_eps)
     tmp = path + ".tmp"
@@ -50,9 +57,14 @@ def load_warmup_checkpoint(path: str) -> Tuple[WarmupState, jnp.ndarray, int]:
     with np.load(path, allow_pickle=False) as z:
         ev = EvalPoint(q=jnp.asarray(z["q"]), logp=jnp.asarray(z["logp"]),
                        grad=jnp.asarray(z["grad"]))
-        if str(z["metric_kind"]) == "diag":
+        kind = str(z["metric_kind"])
+        if kind == "diag":
             metric = DiagMetric(inv=jnp.asarray(z["metric_inv"]),
                                 sqrt_mass=jnp.asarray(z["metric_aux"]))
+        elif kind == "low_rank":
+            metric = LowRankMetric(diag_inv=jnp.asarray(z["metric_inv"]),
+                                   u=jnp.asarray(z["metric_aux"]),
+                                   w=jnp.asarray(z["metric_w"]))
         else:
             metric = DenseMetric(inv=jnp.asarray(z["metric_inv"]),
                                  mass_chol=jnp.asarray(z["metric_aux"]))
@@ -104,7 +116,7 @@ def load_sampling_checkpoint(path: str):
 
 
 def warmup_with_checkpoints(kernel, key, state: WarmupState, stages,
-                            path: str, reporter=None):
+                            path: str, reporter=None, tuning_chunk=None):
     """Run ``kernel``'s warmup stage-by-stage, checkpointing after each stage
     and resuming from ``path`` if it exists.  Returns ``(state, warmup_stats)``
     (stats only from stages run in this process)."""
@@ -115,7 +127,8 @@ def warmup_with_checkpoints(kernel, key, state: WarmupState, stages,
     stages = list(stages)
     for idx in range(start, len(stages)):
         key, sub = jax.random.split(key)
-        state, stats = kernel.warmup(sub, state, [stages[idx]], reporter)
+        state, stats = kernel.warmup(sub, state, [stages[idx]], reporter,
+                                     tuning_chunk=tuning_chunk)
         warmup_stats.extend(stats)
         save_warmup_checkpoint(path, state, key, idx + 1)
     return state, warmup_stats

@@ -189,3 +189,43 @@ def test_draw_block_chunked_sampling_matches_shapes():
     np.testing.assert_allclose(flat.var(0), 1.0, atol=0.35)
     # consecutive blocks must not restart from the same state
     assert not np.allclose(np.asarray(res.draws)[39], np.asarray(res.draws)[40])
+
+
+def test_tuning_chunk_warmup_progress():
+    """Chunked tuning windows: dual-averaging carries across device calls,
+    the metric still comes from the whole window, and the reporter ticks
+    inside the stage (reporting.jl:90-109 parity)."""
+    from inplacedhmc_tpu.models import std_normal
+    from inplacedhmc_tpu.sample import mcmc_with_warmup
+    from inplacedhmc_tpu.config import default_warmup_stages
+
+    model = std_normal(5)
+    stages = default_warmup_stages(init_steps=40, middle_steps=30,
+                                   doubling_stages=1, terminating_steps=30)
+
+    class TickCounter:
+        def __init__(self):
+            self.ticks = []
+            self.stages = []
+
+        def start_stage(self, desc, n=None):
+            self.stages.append(desc)
+
+        def step(self, done):
+            self.ticks.append(done)
+
+        def end_stage(self, **kw):
+            pass
+
+    rep = TickCounter()
+    out = mcmc_with_warmup(jax.random.PRNGKey(0), model, 100, 16,
+                           warmup_stages=stages, tuning_chunk=16, reporter=rep)
+    # the 40-step window ticks at 16/32/40, the 30-step ones at 16/30
+    assert 16 in rep.ticks and 32 in rep.ticks and 40 in rep.ticks
+    acc = float(jnp.mean(out.stats.acceptance_rate))
+    assert 0.6 < acc < 0.98
+    q = np.asarray(out.draws).reshape(-1, 5)
+    assert abs(q.mean()) < 0.2 and abs(q.var() - 1) < 0.4
+    # adapted diag metric came from the window draws
+    assert np.asarray(out.warmup_state.metric.inv).shape == (5,)
+    assert np.all(np.asarray(out.warmup_state.metric.inv) > 0.2)
