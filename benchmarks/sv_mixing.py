@@ -1,0 +1,89 @@
+"""Stoch-vol mixing experiments: which metric/schedule reaches R-hat <= 1.01
+(BASELINE config 5 / round-1 verdict item 4).
+
+The slow directions are (arctanh phi, log s): with T latents and one
+observation per latent, the hyperparameters move on a much longer timescale
+than the h field.  Candidate levers: low-rank+diag metric (captures the
+phi/s x h coupling), higher delta, more doubling windows, longer chains.
+
+Usage: python benchmarks/sv_mixing.py [--t 200] [--chains 16] [--draws 800]
+       [--metric diag|low_rank|dense] [--rank 16] [--delta 0.9]
+       [--doublings 4] [--thin 1] [--stream]
+Prints one JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from inplacedhmc_tpu import diagnostics as diag
+from inplacedhmc_tpu.config import DualAveraging, default_warmup_stages
+from inplacedhmc_tpu.models import stoch_vol, synthetic_returns
+from inplacedhmc_tpu.sample import mcmc_with_warmup
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--t", type=int, default=200)
+    ap.add_argument("--chains", type=int, default=16)
+    ap.add_argument("--draws", type=int, default=800)
+    ap.add_argument("--metric", default="diag")
+    ap.add_argument("--rank", type=int, default=16)
+    ap.add_argument("--delta", type=float, default=0.9)
+    ap.add_argument("--doublings", type=int, default=4)
+    ap.add_argument("--middle", type=int, default=25)
+    ap.add_argument("--thin", type=int, default=1)
+    ap.add_argument("--stream", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dtype", default="f32")
+    args = ap.parse_args()
+
+    dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
+    returns = synthetic_returns(jax.random.PRNGKey(0), args.t, phi=0.98,
+                                s=0.15, dtype=dtype)
+    model = stoch_vol(returns)
+    stages = default_warmup_stages(
+        local_optimization=None,
+        stepsize_adaptation=DualAveraging(delta=args.delta),
+        init_steps=75, middle_steps=args.middle,
+        doubling_stages=args.doublings, terminating_steps=50,
+        metric=args.metric, rank=args.rank, stream=args.stream)
+
+    t0 = time.perf_counter()
+    res = mcmc_with_warmup(jax.random.PRNGKey(args.seed), model, args.draws,
+                           args.chains, warmup_stages=stages, dtype=dtype,
+                           thin=args.thin)
+    draws = np.asarray(res.draws)
+    wall = time.perf_counter() - t0
+
+    rhat = np.asarray(diag.split_rhat(res.draws))
+    ess = np.asarray(diag.ess_bulk(res.draws, cap=False))
+    out = {
+        "t": args.t, "chains": args.chains, "draws": args.draws,
+        "thin": args.thin, "metric": args.metric, "rank": args.rank,
+        "delta": args.delta, "doublings": args.doublings,
+        "stream": bool(args.stream), "wall_s": round(wall, 1),
+        "rhat_max": round(float(rhat.max()), 4),
+        "rhat_phi": round(float(rhat[0]), 4),
+        "rhat_logs": round(float(rhat[1]), 4),
+        "rhat_h_max": round(float(rhat[2:].max()), 4),
+        "ess_min": round(float(ess.min()), 1),
+        "ess_phi": round(float(ess[0]), 1),
+        "ess_logs": round(float(ess[1]), 1),
+        "accept": round(float(np.mean(np.asarray(res.stats.acceptance_rate))), 3),
+        "depth_mean": round(float(np.mean(np.asarray(res.stats.depth))), 2),
+        "div_frac": round(float(diag.divergence_fraction(res.stats)), 5),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,9 +25,11 @@ from jax import lax
 from ..config import (DualAveraging, FindLocalOptimum,
                       InitialStepsizeSearch, NUTS, TuningNUTS)
 from ..core.hamiltonian import evaluate
-from ..core.metric import (Metric, estimate_dense_metric, estimate_diag_metric,
+from ..core.metric import (Metric, dense_metric, diag_metric,
+                           estimate_dense_metric, estimate_diag_metric,
                            estimate_low_rank_metric, identity_metric,
-                           sample_momentum)
+                           low_rank_metric_from_cov, moments_cov,
+                           moments_variance, sample_momentum)
 from ..core.state import EvalPoint, PhasePoint, TreeStats, WarmupState
 from ..nuts.tree import nuts_transition
 from .optimize import lbfgs_batched
@@ -145,9 +147,64 @@ def run_stepsize_search(key, potential: Callable, stage: InitialStepsizeSearch,
 
 class TuningResult(NamedTuple):
     state: WarmupState
-    draws: jnp.ndarray     # [N, C, D]
+    draws: jnp.ndarray     # [N, C, D]; None when the stage streams moments
     stats: TreeStats       # [N, C] fields
     eps_log: jnp.ndarray   # [N] or [N, C] step sizes used
+
+
+class StreamMoments(NamedTuple):
+    """O(D)/O(D²) running moments of a tuning window, centered on the
+    window-start mean position so the one-pass form stays numerically safe
+    (see :func:`~inplacedhmc_tpu.core.metric.moments_variance`)."""
+
+    qref: jnp.ndarray   # [D] center
+    cnt: jnp.ndarray    # scalar sample count
+    s1: jnp.ndarray     # [D] sum of centered draws
+    s2: jnp.ndarray     # [D] (diag) or [D, D] (dense/low_rank Gram)
+
+
+def init_stream_moments(stage: TuningNUTS, z: EvalPoint,
+                        axis_name: Optional[str] = None):
+    if not getattr(stage, "stream", False) or stage.metric is None:
+        return None
+    d = z.q.shape[-1]
+    dt = z.q.dtype
+    qref = jnp.mean(z.q, axis=0)
+    if axis_name is not None:
+        # all devices must center on the same reference or the psum'd
+        # moments in _metric_from_moments mix incompatible centerings
+        qref = lax.pmean(qref, axis_name)
+    s2 = (jnp.zeros((d,), dt) if stage.metric == "diag"
+          else jnp.zeros((d, d), dt))
+    return StreamMoments(qref=qref, cnt=jnp.zeros((), dt),
+                         s1=jnp.zeros((d,), dt), s2=s2)
+
+
+def _update_moments(mom, stage: TuningNUTS, q):
+    if mom is None:
+        return None
+    c = q - mom.qref
+    s1 = mom.s1 + jnp.sum(c, axis=0)
+    if stage.metric == "diag":
+        s2 = mom.s2 + jnp.sum(c * c, axis=0)
+    else:
+        s2 = mom.s2 + c.T @ c
+    return mom._replace(cnt=mom.cnt + q.shape[0], s1=s1, s2=s2)
+
+
+def _metric_from_moments(stage: TuningNUTS, mom: StreamMoments,
+                         axis_name: Optional[str]) -> Metric:
+    cnt, s1, s2 = mom.cnt, mom.s1, mom.s2
+    if axis_name is not None:
+        cnt = lax.psum(cnt, axis_name)
+        s1 = lax.psum(s1, axis_name)
+        s2 = lax.psum(s2, axis_name)
+    if stage.metric == "diag":
+        return diag_metric(moments_variance(cnt, s1, s2, stage.lam_value))
+    cov = moments_cov(cnt, s1, s2, stage.lam_value)
+    if stage.metric == "dense":
+        return dense_metric(cov)
+    return low_rank_metric_from_cov(cov, cnt, stage.lam_value, stage.rank)
 
 
 def run_tuning(key, potential: Callable, stage: TuningNUTS, algorithm: NUTS,
@@ -170,8 +227,11 @@ def run_tuning(key, potential: Callable, stage: TuningNUTS, algorithm: NUTS,
     fused_trans = (transition_factory(state.metric, state.z.q.shape[0])
                    if transition_factory is not None else None)
 
+    stream = bool(stage.stream and stage.metric is not None)
+    mom0 = init_stream_moments(stage, state.z, axis_name)
+
     def step(carry, k):
-        z, da = carry
+        z, da, mom = carry
         eps = da_current_eps(da) if adapting else eps0
         if fused_trans is not None:
             z2, stats = fused_trans(k, z, eps)
@@ -187,20 +247,28 @@ def run_tuning(key, potential: Callable, stage: TuningNUTS, algorithm: NUTS,
                 if axis_name is not None:
                     a = lax.pmean(a, axis_name)
             da = da_update(stage.stepsize_adaptation, da, a)
-        return (z2, da), (z2.q, stats, eps)
+        mom = _update_moments(mom, stage, z2.q)
+        ys = (stats, eps) if stream else (z2.q, stats, eps)
+        return (z2, da, mom), ys
 
-    (z, da), (qs, stats, eps_log) = lax.scan(step, (state.z, da), keys)
+    (z, da, mom), ys = lax.scan(step, (state.z, da, mom0), keys)
 
     metric = state.metric
-    if stage.metric == "diag":
-        metric = estimate_diag_metric(qs, stage.lam_value, pooled=pooled,
-                                      axis_name=axis_name)
-    elif stage.metric == "dense":
-        metric = estimate_dense_metric(qs, stage.lam_value, pooled=pooled,
-                                       axis_name=axis_name)
-    elif stage.metric == "low_rank":
-        metric = estimate_low_rank_metric(qs, stage.lam_value, stage.rank,
+    if stream:
+        qs = None
+        stats, eps_log = ys
+        metric = _metric_from_moments(stage, mom, axis_name)
+    else:
+        qs, stats, eps_log = ys
+        if stage.metric == "diag":
+            metric = estimate_diag_metric(qs, stage.lam_value, pooled=pooled,
                                           axis_name=axis_name)
+        elif stage.metric == "dense":
+            metric = estimate_dense_metric(qs, stage.lam_value, pooled=pooled,
+                                           axis_name=axis_name)
+        elif stage.metric == "low_rank":
+            metric = estimate_low_rank_metric(qs, stage.lam_value, stage.rank,
+                                              axis_name=axis_name)
 
     log_eps = jnp.log(da_final_eps(da)) if adapting else state.log_eps
     new_state = WarmupState(z=z, metric=metric, log_eps=log_eps)
@@ -210,23 +278,28 @@ def run_tuning(key, potential: Callable, stage: TuningNUTS, algorithm: NUTS,
 class TuningChunkResult(NamedTuple):
     z: EvalPoint
     da: tuple               # dual-averaging carry (None when not adapting)
-    draws: jnp.ndarray      # [n, C, D]
+    draws: jnp.ndarray      # [n, C, D]; None when the stage streams moments
     stats: TreeStats
     eps_log: jnp.ndarray
+    mom: Optional[StreamMoments] = None   # streamed-moment carry
 
 
 def run_tuning_chunk(key, potential: Callable, stage: TuningNUTS,
                      algorithm: NUTS, state: WarmupState, da, n: int,
                      pooled: bool = False, axis_name: Optional[str] = None,
                      step_factory: Optional[Callable] = None,
-                     transition_factory: Optional[Callable] = None
+                     transition_factory: Optional[Callable] = None,
+                     mom: Optional[StreamMoments] = None
                      ) -> TuningChunkResult:
     """``n`` transitions of a tuning window with the dual-averaging carry
     passed in/out — the unit of in-window progress reporting (the reference
     reports every ~100 transitions inside a window, ``reporting.jl:90-109``;
     one chunk = one device call = one reporter tick).  Metric estimation
-    happens once per *window* in :func:`finalize_tuning`."""
+    happens once per *window* in :func:`finalize_tuning`.  When the stage
+    streams (``stage.stream``), the running moments ``mom`` thread across
+    chunks instead of the window's draws."""
     adapting = isinstance(stage.stepsize_adaptation, DualAveraging)
+    stream = bool(stage.stream and stage.metric is not None)
     eps0 = jnp.exp(state.log_eps)
     keys = jax.random.split(key, n)
     fused_step = step_factory(state.metric) if step_factory is not None else None
@@ -234,7 +307,7 @@ def run_tuning_chunk(key, potential: Callable, stage: TuningNUTS,
                    if transition_factory is not None else None)
 
     def step(carry, k):
-        z, da = carry
+        z, da, mom = carry
         eps = da_current_eps(da) if adapting else eps0
         if fused_trans is not None:
             z2, stats = fused_trans(k, z, eps)
@@ -250,21 +323,32 @@ def run_tuning_chunk(key, potential: Callable, stage: TuningNUTS,
                 if axis_name is not None:
                     a = lax.pmean(a, axis_name)
             da = da_update(stage.stepsize_adaptation, da, a)
-        return (z2, da), (z2.q, stats, eps)
+        mom = _update_moments(mom, stage, z2.q)
+        ys = (stats, eps) if stream else (z2.q, stats, eps)
+        return (z2, da, mom), ys
 
-    (z, da), (qs, stats, eps_log) = lax.scan(step, (state.z, da), keys)
+    (z, da, mom), ys = lax.scan(step, (state.z, da, mom), keys)
+    if stream:
+        stats, eps_log = ys
+        qs = None
+    else:
+        qs, stats, eps_log = ys
     return TuningChunkResult(z=z, da=da, draws=qs, stats=stats,
-                             eps_log=eps_log)
+                             eps_log=eps_log, mom=mom)
 
 
 def finalize_tuning(stage: TuningNUTS, state: WarmupState, z: EvalPoint, da,
-                    qs: jnp.ndarray, pooled: bool = False,
-                    axis_name: Optional[str] = None) -> WarmupState:
+                    qs: Optional[jnp.ndarray], pooled: bool = False,
+                    axis_name: Optional[str] = None,
+                    mom: Optional[StreamMoments] = None) -> WarmupState:
     """Close a tuning window: final eps from the dual-averaging carry and the
-    optional metric re-estimate over the window's draws (``warmup.jl:309``)."""
+    optional metric re-estimate over the window's draws (``warmup.jl:309``) —
+    or, for a streaming stage, from the accumulated moments ``mom``."""
     adapting = isinstance(stage.stepsize_adaptation, DualAveraging)
     metric = state.metric
-    if stage.metric == "diag":
+    if stage.stream and stage.metric is not None:
+        metric = _metric_from_moments(stage, mom, axis_name)
+    elif stage.metric == "diag":
         metric = estimate_diag_metric(qs, stage.lam_value, pooled=pooled,
                                       axis_name=axis_name)
     elif stage.metric == "dense":

@@ -103,6 +103,10 @@ class TuningNUTS:
     lam: Optional[float] = None
     #: rank of the low-rank+diag metric (``metric="low_rank"`` only)
     rank: int = 16
+    #: estimate the metric from streamed O(D)/O(D^2) moments instead of the
+    #: stored [N, C, D] window draws — required at 10k-chain x 1k-dim scale
+    #: where the window would not fit in HBM
+    stream: bool = False
 
     def __post_init__(self):
         assert self.metric in (None, "diag", "dense", "low_rank")
@@ -126,14 +130,17 @@ def default_warmup_stages(
     doubling_stages: int = 5,
     terminating_steps: int = 50,
     rank: int = 16,
+    stream: bool = False,
 ) -> Tuple[WarmupStage, ...]:
     """The reference's default windowed schedule (``warmup.jl:361-372``):
     optimum → stepsize search → 75 → (25, 50, 100, 200, 400 with metric
     re-estimates) → 50, i.e. 900 warmup transitions by default.
-    ``rank`` applies when ``metric="low_rank"``."""
+    ``rank`` applies when ``metric="low_rank"``; ``stream=True`` estimates
+    metrics from streamed moments instead of stored window draws (the
+    memory-bounded mode for huge chain-count × dimension products)."""
     middle = tuple(
         TuningNUTS(n=middle_steps << i, stepsize_adaptation=stepsize_adaptation,
-                   metric=metric, rank=rank)
+                   metric=metric, rank=rank, stream=stream)
         for i in range(doubling_stages)
     )
     return tuple(

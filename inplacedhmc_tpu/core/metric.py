@@ -210,6 +210,63 @@ def estimate_dense_metric(draws: jnp.ndarray, lam, pooled: bool = True,
     return dense_metric(regularized_cov(draws, lam, pooled, axis_name))
 
 
+def _regularize(var, n_eff, lam, dtype):
+    lam = jnp.asarray(lam, dtype)
+    return var * (n_eff / (n_eff + lam)) \
+        + jnp.asarray(1e-3, dtype) * (lam / (n_eff + lam))
+
+
+def moments_variance(cnt, s1, s2, lam, axis_name: str | None = None):
+    """Regularized variance from streamed moments centered on a reference
+    position: ``s1 = Σ (q - qref)``, ``s2 = Σ (q - qref)²`` accumulated inside
+    the tuning scan — O(D) carry instead of storing the ``[N, C, D]`` window
+    (the 10k-chain × 1k-dim operating point cannot hold its draws).  The
+    reference center keeps the one-pass cancellation harmless: the error is
+    relative to ``|mean - qref|/sd``, which is O(1) for a window-start center,
+    not the raw ``|mean|/sd`` that bit the unstreamed one-pass form."""
+    if axis_name is not None:
+        cnt = jax.lax.psum(cnt, axis_name)
+        s1 = jax.lax.psum(s1, axis_name)
+        s2 = jax.lax.psum(s2, axis_name)
+    mu = s1 / cnt
+    var = jnp.maximum((s2 - cnt * mu * mu) / (cnt - 1), 1e-10)
+    return _regularize(var, cnt, lam, s1.dtype)
+
+
+def moments_cov(cnt, s1, gram, lam, axis_name: str | None = None):
+    """Regularized covariance from streamed moments (see
+    :func:`moments_variance`); ``gram = Σ (q - qref)(q - qref)ᵀ``."""
+    if axis_name is not None:
+        cnt = jax.lax.psum(cnt, axis_name)
+        s1 = jax.lax.psum(s1, axis_name)
+        gram = jax.lax.psum(gram, axis_name)
+    d = s1.shape[0]
+    mu = s1 / cnt
+    cov = (gram - cnt * jnp.outer(mu, mu)) / (cnt - 1)
+    # clamp the diagonal against residual cancellation
+    cov = cov + jnp.diag(jnp.maximum(1e-10 - jnp.diag(cov), 0.0))
+    lam = jnp.asarray(lam, s1.dtype)
+    eye = jnp.eye(d, dtype=s1.dtype)
+    return cov * (cnt / (cnt + lam)) \
+        + jnp.asarray(1e-3, s1.dtype) * (lam / (cnt + lam)) * eye
+
+
+def low_rank_metric_from_cov(cov, cnt, lam, rank: int) -> LowRankMetric:
+    """Low-rank+diag metric from an (already regularized) covariance —
+    shared tail of the stored-draws and streamed-moments estimators."""
+    diag_inv = jnp.maximum(jnp.diag(cov), 1e-10)
+    s = jnp.sqrt(diag_inv)
+    cov_w = cov / s[:, None] / s[None, :]
+    lam = jnp.asarray(lam, cov.dtype)
+    evals, evecs = jnp.linalg.eigh(cov_w)
+    evals = jnp.maximum(evals, 1e-6)
+    evals = evals * (cnt / (cnt + lam)) + lam / (cnt + lam)
+    order = jnp.argsort(jnp.abs(jnp.log(evals)))[::-1][:rank]
+    u = jnp.take(evecs, order, axis=1)
+    w = jnp.take(evals, order) - 1.0
+    return LowRankMetric(diag_inv=diag_inv, u=u, w=w)
+
+
 def estimate_low_rank_metric(draws: jnp.ndarray, lam, rank: int,
                              axis_name: str | None = None) -> LowRankMetric:
     """Low-rank+diag metric from a tuning window's draws (always pooled —

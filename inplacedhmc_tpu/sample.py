@@ -231,7 +231,7 @@ class NUTSKernel:
                                   step_factory=self.step_factory,
                                   transition_factory=self.transition_factory)
             self._jit_cache[key] = jax.jit(
-                lambda k, state, da: f(k, state=state, da=da))
+                lambda k, state, da, mom: f(k, state=state, da=da, mom=mom))
         return self._jit_cache[key]
 
     def _finalize_tuning_fn(self, stage: TuningNUTS):
@@ -240,7 +240,8 @@ class NUTSKernel:
             f = functools.partial(W.finalize_tuning, stage=stage,
                                   pooled=self.pooled, axis_name=self.axis_name)
             self._jit_cache[key] = jax.jit(
-                lambda state, z, da, qs: f(state=state, z=z, da=da, qs=qs))
+                lambda state, z, da, qs, mom: f(state=state, z=z, da=da,
+                                                qs=qs, mom=mom))
         return self._jit_cache[key]
 
     def _search_fn(self, stage: InitialStepsizeSearch):
@@ -335,22 +336,25 @@ class NUTSKernel:
                     da = (W.da_init(stage.stepsize_adaptation,
                                     jnp.exp(state.log_eps))
                           if adapting else None)
+                    stream = bool(stage.stream and stage.metric is not None)
+                    mom = W.init_stream_moments(stage, state.z)
                     z_cur, done, parts = state.z, 0, []
                     while done < stage.n:
                         nb = min(tuning_chunk, stage.n - done)
                         sub, kb = jax.random.split(sub)
                         res = self._tuning_chunk_fn(stage, nb)(
-                            kb, state._replace(z=z_cur), da)
-                        z_cur, da = res.z, res.da
+                            kb, state._replace(z=z_cur), da, mom)
+                        z_cur, da, mom = res.z, res.da, res.mom
                         parts.append(res)
                         done += nb
                         reporter.step(done)
-                    qs = jnp.concatenate([r.draws for r in parts], axis=0)
+                    qs = (None if stream else
+                          jnp.concatenate([r.draws for r in parts], axis=0))
                     warmup_stats.append(jax.tree_util.tree_map(
                         lambda *xs: jnp.concatenate(xs, axis=0),
                         *[r.stats for r in parts]))
                     state = self._finalize_tuning_fn(stage)(state, z_cur, da,
-                                                            qs)
+                                                            qs, mom)
                 eps = float(jnp.exp(jnp.atleast_1d(state.log_eps))[0])
                 reporter.end_stage(eps=eps)
             else:

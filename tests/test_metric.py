@@ -177,3 +177,68 @@ class TestLowRankMetric:
         assert abs(v1.var() / 31.0 - 1.0) < 0.35, v1.var()
         acc = float(np.mean(np.asarray(out.stats.acceptance_rate)))
         assert 0.6 < acc < 0.95
+
+
+class TestStreamedMoments:
+    """Streamed-moment estimators (O(D)/O(D²) carry) must match the
+    stored-draws estimators they replace at 10k-chain×1k-dim scale."""
+
+    def _draws(self, n=60, c=8, d=6, offset=0.0):
+        rng = np.random.default_rng(7)
+        a = rng.normal(size=(d, d))
+        draws = rng.normal(size=(n, c, d)) @ a.T + offset
+        return jnp.asarray(draws, jnp.float32)
+
+    def _moments(self, draws, dense):
+        qref = jnp.mean(draws[0], axis=0)
+        flat = draws.reshape(-1, draws.shape[-1]) - qref
+        cnt = jnp.asarray(float(flat.shape[0]), jnp.float32)
+        s1 = jnp.sum(flat, axis=0)
+        s2 = flat.T @ flat if dense else jnp.sum(flat * flat, axis=0)
+        return cnt, s1, s2
+
+    def test_variance_matches_pooled_estimator(self):
+        from inplacedhmc_tpu.core.metric import (moments_variance,
+                                                 regularized_variance)
+        draws = self._draws()
+        lam = 5.0 / draws.shape[0]
+        cnt, s1, s2 = self._moments(draws, dense=False)
+        got = np.asarray(moments_variance(cnt, s1, s2, lam))
+        want = np.asarray(regularized_variance(draws, lam, pooled=True))
+        np.testing.assert_allclose(got, want, rtol=5e-4)
+
+    def test_variance_stable_with_large_offset(self):
+        """The reference-centered form must survive |mean|/sd ~ 1e4 in f32
+        (ADVICE round 1: raw one-pass moments round negative there)."""
+        from inplacedhmc_tpu.core.metric import moments_variance
+        draws = self._draws(offset=1e4)
+        cnt, s1, s2 = self._moments(draws, dense=False)
+        got = np.asarray(moments_variance(cnt, s1, s2, 0.1))
+        assert np.all(got > 0)
+        flat = np.asarray(draws, np.float64).reshape(-1, draws.shape[-1])
+        np.testing.assert_allclose(got, flat.var(0, ddof=1), rtol=0.05)
+
+    def test_cov_matches_pooled_estimator(self):
+        from inplacedhmc_tpu.core.metric import moments_cov, regularized_cov
+        draws = self._draws()
+        lam = 5.0 / draws.shape[0]
+        cnt, s1, gram = self._moments(draws, dense=True)
+        got = np.asarray(moments_cov(cnt, s1, gram, lam))
+        want = np.asarray(regularized_cov(draws, lam, pooled=True))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
+
+    def test_low_rank_from_cov_matches_draw_estimator(self):
+        from inplacedhmc_tpu.core.metric import (estimate_low_rank_metric,
+                                                 low_rank_metric_from_cov,
+                                                 moments_cov)
+        draws = self._draws(n=120, c=16, d=5)
+        lam = 5.0 / draws.shape[0]
+        cnt, s1, gram = self._moments(draws, dense=True)
+        cov = moments_cov(cnt, s1, gram, lam)
+        got = low_rank_metric_from_cov(cov, cnt, lam, rank=3)
+        want = estimate_low_rank_metric(draws, lam, rank=3)
+        np.testing.assert_allclose(np.asarray(got.diag_inv),
+                                   np.asarray(want.diag_inv), rtol=2e-3)
+        np.testing.assert_allclose(np.sort(np.asarray(got.w)),
+                                   np.sort(np.asarray(want.w)),
+                                   rtol=1e-2, atol=1e-4)

@@ -121,3 +121,28 @@ def test_sampler_with_interpret_pallas_end_to_end():
     flat = np.asarray(res.draws).reshape(-1, 4)
     np.testing.assert_allclose(flat.var(0), variances, rtol=0.3)
     np.testing.assert_allclose(flat.mean(0), 0.0, atol=0.25)
+
+
+def test_multi_step_leapfrog_matches_chained_single_steps():
+    """k dependent steps in one launch == k chained single-step kernels."""
+    from inplacedhmc_tpu.ops.leapfrog_pallas import (_fused_leapfrog_padded,
+                                                     multi_step_leapfrog)
+
+    c, dpad, k = 16, 128, 7
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(c, dpad)), jnp.float32)
+    p = jnp.asarray(rng.normal(size=(c, dpad)), jnp.float32)
+    eps = jnp.full((c, 1), 0.05, jnp.float32)
+    lam = jnp.asarray(rng.gamma(2.0, size=(1, dpad)) + 0.3, jnp.float32)
+    minv = jnp.asarray(rng.gamma(2.0, size=(1, dpad)) + 0.3, jnp.float32)
+
+    qk, pk = multi_step_leapfrog(q, p, eps, lam, minv, k, block_c=16,
+                                 interpret=True)
+    qs, ps = q, p
+    for _ in range(k):
+        qs, ps, *_ = _fused_leapfrog_padded(qs, ps, eps, lam, minv, 16,
+                                            interpret=True)
+    np.testing.assert_allclose(np.asarray(qk), np.asarray(qs), rtol=2e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pk), np.asarray(ps), rtol=2e-5,
+                               atol=1e-5)

@@ -229,3 +229,45 @@ def test_tuning_chunk_warmup_progress():
     # adapted diag metric came from the window draws
     assert np.asarray(out.warmup_state.metric.inv).shape == (5,)
     assert np.all(np.asarray(out.warmup_state.metric.inv) > 0.2)
+
+
+def test_streaming_warmup_matches_stored_draws():
+    """stream=True adapts the metric from O(D) running moments instead of the
+    stored [N, C, D] window — same posterior, same metric quality, and it
+    composes with tuning_chunk (the moment carry threads across chunks)."""
+    model = mvn(jnp.diag(jnp.asarray([9.0, 4.0, 1.0, 0.25])))
+    k = jax.random.PRNGKey(3)
+    base = dict(stepsize_adaptation=DualAveraging(), init_steps=40,
+                middle_steps=25, doubling_stages=3, terminating_steps=25)
+    out_stream = mcmc_with_warmup(
+        k, model, 200, 32,
+        warmup_stages=default_warmup_stages(stream=True, **base),
+        tuning_chunk=20, dtype=jnp.float64)
+    out_stored = mcmc_with_warmup(
+        k, model, 200, 32, warmup_stages=default_warmup_stages(**base),
+        dtype=jnp.float64)
+    m_stream = np.asarray(out_stream.warmup_state.metric.inv)
+    m_stored = np.asarray(out_stored.warmup_state.metric.inv)
+    # both recover the target variances (M^-1 ≈ diag of cov)
+    np.testing.assert_allclose(m_stream, [9.0, 4.0, 1.0, 0.25], rtol=0.5)
+    np.testing.assert_allclose(m_stream, m_stored, rtol=0.5)
+    q = np.asarray(out_stream.draws).reshape(-1, 4)
+    np.testing.assert_allclose(q.var(0), [9.0, 4.0, 1.0, 0.25], rtol=0.35)
+
+
+def test_streaming_dense_and_low_rank_warmup():
+    """Streamed Gram accumulation feeds the dense and low-rank estimators."""
+    cov = jnp.asarray([[2.0, 1.2, 0.0], [1.2, 1.5, 0.3], [0.0, 0.3, 1.0]])
+    model = mvn(cov)
+    base = dict(stepsize_adaptation=DualAveraging(), init_steps=40,
+                middle_steps=25, doubling_stages=3, terminating_steps=25)
+    for metric in ("dense", "low_rank"):
+        out = mcmc_with_warmup(
+            jax.random.PRNGKey(5), model, 150, 32,
+            warmup_stages=default_warmup_stages(metric=metric, stream=True,
+                                                **base),
+            dtype=jnp.float64)
+        q = np.asarray(out.draws).reshape(-1, 3)
+        np.testing.assert_allclose(q.var(0), np.diag(cov), rtol=0.4)
+        acc = float(jnp.mean(out.stats.acceptance_rate))
+        assert 0.6 < acc < 0.99, metric
