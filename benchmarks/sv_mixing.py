@@ -44,8 +44,18 @@ def main():
     ap.add_argument("--stream", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dtype", default="f32")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the env var is too late: "
+                         "sitecustomize imports jax before this script runs)")
+    ap.add_argument("--moments", action="store_true",
+                    help="memory-bounded mode: record only (phi, log_s, "
+                         "h_1..h_8) and take R-hat over ALL dims from "
+                         "streaming split-moments")
+    ap.add_argument("--draw-block", type=int, default=None)
     args = ap.parse_args()
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
     returns = synthetic_returns(jax.random.PRNGKey(0), args.t, phi=0.98,
                                 s=0.15, dtype=dtype)
@@ -57,15 +67,34 @@ def main():
         doubling_stages=args.doublings, terminating_steps=50,
         metric=args.metric, rank=args.rank, stream=args.stream)
 
+    extra = {}
     t0 = time.perf_counter()
     res = mcmc_with_warmup(jax.random.PRNGKey(args.seed), model, args.draws,
                            args.chains, warmup_stages=stages, dtype=dtype,
-                           thin=args.thin)
+                           thin=args.thin, draw_block=args.draw_block,
+                           keep_dims=tuple(range(10)) if args.moments else None,
+                           collect_moments=args.moments)
     draws = np.asarray(res.draws)
     wall = time.perf_counter() - t0
 
-    rhat = np.asarray(diag.split_rhat(res.draws))
-    ess = np.asarray(diag.ess_bulk(res.draws, cap=False))
+    # chunk diagnostics over dims: the zero-padded ESS FFT on the full
+    # [N, C, D] cube exhausts HBM at T=1000
+    def chunked(fn, x, bs=64):
+        return np.concatenate([np.asarray(fn(x[:, :, i:i + bs]))
+                               for i in range(0, x.shape[-1], bs)])
+
+    if args.moments:
+        # R-hat over every coordinate from the streamed moments; ESS over
+        # the recorded subset (phi and log_s are the slowest coordinates)
+        rhat = np.asarray(diag.split_rhat_from_moments(res.sample_moments))
+        ess_kept = chunked(lambda d: diag.ess_bulk(d, cap=False), res.draws)
+        ess = np.full(rhat.shape, np.nan)
+        ess[:10] = ess_kept
+        extra["ess_scope"] = "phi,log_s,h1..h8"
+        extra["ess_min"] = round(float(ess_kept.min()), 1)
+    else:
+        rhat = chunked(diag.split_rhat, res.draws)
+        ess = chunked(lambda d: diag.ess_bulk(d, cap=False), res.draws)
     out = {
         "t": args.t, "chains": args.chains, "draws": args.draws,
         "thin": args.thin, "metric": args.metric, "rank": args.rank,
@@ -75,9 +104,10 @@ def main():
         "rhat_phi": round(float(rhat[0]), 4),
         "rhat_logs": round(float(rhat[1]), 4),
         "rhat_h_max": round(float(rhat[2:].max()), 4),
-        "ess_min": round(float(ess.min()), 1),
+        "ess_min": round(float(np.nanmin(ess)), 1),
         "ess_phi": round(float(ess[0]), 1),
         "ess_logs": round(float(ess[1]), 1),
+        **extra,
         "accept": round(float(np.mean(np.asarray(res.stats.acceptance_rate))), 3),
         "depth_mean": round(float(np.mean(np.asarray(res.stats.depth))), 2),
         "div_frac": round(float(diag.divergence_fraction(res.stats)), 5),

@@ -365,29 +365,63 @@ def finalize_tuning(stage: TuningNUTS, state: WarmupState, z: EvalPoint, da,
 # post-warmup sampling loop
 # ---------------------------------------------------------------------------
 
+class SplitMoments(NamedTuple):
+    """Streaming split-chain moments accumulated during sampling — enough to
+    compute split-R̂ over every coordinate without storing the ``[N, C, D]``
+    draw array (the 10k-chain × 1k-dim operating point cannot hold it).
+    Per-chain-half sums are centered on each chain's sampling-start position
+    so the one-pass form stays numerically safe in f32."""
+
+    qref: jnp.ndarray    # [C, D] per-chain center
+    cnt: jnp.ndarray     # [2] draws per half
+    s1: jnp.ndarray      # [2, C, D] Σ (q - qref)
+    s2: jnp.ndarray      # [2, C, D] Σ (q - qref)²
+
+
+def init_split_moments(q: jnp.ndarray) -> SplitMoments:
+    c, d = q.shape
+    dt = q.dtype
+    return SplitMoments(qref=q, cnt=jnp.zeros((2,), dt),
+                        s1=jnp.zeros((2, c, d), dt),
+                        s2=jnp.zeros((2, c, d), dt))
+
+
 class SamplingResult(NamedTuple):
     z: EvalPoint
-    draws: jnp.ndarray   # [N, C, D]
+    draws: jnp.ndarray   # [N, C, D] (or [N, C, len(keep_dims)])
     stats: TreeStats     # [N, C]
+    moments: Optional[SplitMoments] = None
 
 
 def run_sampling(key, potential: Callable, algorithm: NUTS, state: WarmupState,
                  n_draws: int,
                  step_factory: Optional[Callable] = None,
                  transition_factory: Optional[Callable] = None,
-                 thin: int = 1) -> SamplingResult:
+                 thin: int = 1,
+                 keep_dims: Optional[Tuple[int, ...]] = None,
+                 moments0: Optional[SplitMoments] = None,
+                 moment_offset: int = 0,
+                 moment_total: Optional[int] = None) -> SamplingResult:
     """The post-warmup loop ``mcmc!`` (``warmup.jl:316-332``): fixed eps and
     metric, collect positions and tree statistics.
 
     ``thin > 1`` runs ``thin`` transitions per recorded draw (keeping the
     last), bounding chain-storage memory for huge chain counts; the recorded
     statistics are those of the recorded transition.
-    """
+
+    ``keep_dims`` records only those coordinates in ``draws`` (memory-bounded
+    mode for huge C×D; the full state still advances every dimension).
+    ``moments0`` accumulates streaming split-chain moments over ALL
+    dimensions (see :class:`SplitMoments`); ``moment_offset``/``moment_total``
+    locate this call's draws inside the whole run so draws land in the right
+    half when sampling is split into blocks."""
     eps = jnp.exp(state.log_eps)
     keys = jax.random.split(key, n_draws * thin).reshape(n_draws, thin, -1)
     fused_step = step_factory(state.metric) if step_factory is not None else None
     fused_trans = (transition_factory(state.metric, state.z.q.shape[0])
                    if transition_factory is not None else None)
+    total = n_draws if moment_total is None else moment_total
+    kd = None if keep_dims is None else jnp.asarray(keep_dims, jnp.int32)
 
     def one(z, k):
         if fused_trans is not None:
@@ -397,7 +431,9 @@ def run_sampling(key, potential: Callable, algorithm: NUTS, state: WarmupState,
                                min_delta=algorithm.min_delta,
                                step_fn=fused_step)
 
-    def step(z, ks):
+    def step(carry, xs):
+        z, mom = carry
+        ks, i = xs
         if thin == 1:
             z2, stats = one(z, ks[0])
         else:
@@ -406,7 +442,16 @@ def run_sampling(key, potential: Callable, algorithm: NUTS, state: WarmupState,
                 return z2, stats
             z2, stats_all = lax.scan(inner, z, ks)
             stats = jax.tree_util.tree_map(lambda x: x[-1], stats_all)
-        return z2, (z2.q, stats)
+        if mom is not None:
+            half = ((moment_offset + i) >= total // 2).astype(jnp.int32)
+            c = z2.q - mom.qref
+            mom = mom._replace(
+                cnt=mom.cnt.at[half].add(1),
+                s1=mom.s1.at[half].add(c),
+                s2=mom.s2.at[half].add(c * c))
+        rec = z2.q if kd is None else jnp.take(z2.q, kd, axis=-1)
+        return (z2, mom), (rec, stats)
 
-    z, (qs, stats) = lax.scan(step, state.z, keys)
-    return SamplingResult(z=z, draws=qs, stats=stats)
+    (z, mom), (qs, stats) = lax.scan(
+        step, (state.z, moments0), (keys, jnp.arange(n_draws)))
+    return SamplingResult(z=z, draws=qs, stats=stats, moments=mom)

@@ -133,6 +133,29 @@ def split_rhat(draws: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(var_plus / w)
 
 
+def split_rhat_from_moments(mom) -> jnp.ndarray:
+    """Split-R̂ from streaming :class:`~inplacedhmc_tpu.adapt.warmup.SplitMoments`
+    accumulated during sampling — identical statistic to :func:`split_rhat`
+    (each chain's two halves are separate sequences) but O(C·D) memory: the
+    path to R̂ over every coordinate of a 10k-chain × 1k-dim run whose draws
+    were never stored.
+
+    The accumulated sums are centered per chain on ``mom.qref``; the shift
+    cancels exactly in both the within-half variances and the between-half
+    variance of the means (R̂ is translation-invariant per coordinate only —
+    per-CHAIN centers would not cancel — so ``qref`` enters the means)."""
+    cnt = mom.cnt[:, None, None]                       # [2, 1, 1]
+    mean = mom.qref[None] + mom.s1 / cnt               # [2, C, D]
+    var = (mom.s2 - mom.s1 * mom.s1 / cnt) / (cnt - 1.0)
+    var = jnp.maximum(var, 0.0)
+    half = mom.cnt[0]
+    means = mean.reshape(-1, mean.shape[-1])           # [2C, D]
+    w = jnp.mean(var.reshape(-1, var.shape[-1]), axis=0)
+    b = half * jnp.var(means, axis=0, ddof=1)
+    var_plus = (half - 1.0) / half * w + b / half
+    return jnp.sqrt(var_plus / w)
+
+
 def _autocov_fft(x: jnp.ndarray) -> jnp.ndarray:
     """Autocovariance along axis 0 via FFT.  ``x``: [N, ...] → [N, ...]."""
     n = x.shape[0]

@@ -45,6 +45,10 @@ class MCMCResult(NamedTuple):
     stats: TreeStats
     warmup_state: WarmupState
     warmup_stats: Optional[TreeStats] = None
+    #: streaming split-chain moments over every coordinate (only when the run
+    #: requested ``collect_moments``) — feed to
+    #: :func:`~inplacedhmc_tpu.diagnostics.split_rhat_from_moments`
+    sample_moments: Optional[object] = None
 
 
 def _shard_map_transition(trans, mesh, axis_name: str):
@@ -253,16 +257,28 @@ class NUTSKernel:
             self._jit_cache[key] = jax.jit(lambda k, state: f(k, state=state))
         return self._jit_cache[key]
 
-    def _sampling_fn(self, n_draws: int, thin: int = 1):
-        key = ("sampling", n_draws, thin)
+    def _sampling_fn(self, n_draws: int, thin: int = 1,
+                     keep_dims=None, moments: bool = False,
+                     moment_offset: int = 0, moment_total=None):
+        key = ("sampling", n_draws, thin, keep_dims, moments, moment_offset,
+               moment_total)
         if key not in self._jit_cache:
             f = functools.partial(W.run_sampling, potential=self.potential,
                                   algorithm=self.algorithm, n_draws=n_draws,
-                                  thin=thin,
+                                  thin=thin, keep_dims=keep_dims,
+                                  moment_offset=moment_offset,
+                                  moment_total=moment_total,
                                   step_factory=self.step_factory,
                                   transition_factory=self.transition_factory)
-            self._jit_cache[key] = jax.jit(
-                lambda k, state: f(k, state=state))
+            if moments:
+                g = jax.jit(lambda k, state, mom: f(k, state=state,
+                                                    moments0=mom))
+                self._jit_cache[key] = lambda k, state, mom=None: g(
+                    k, state, W.init_split_moments(state.z.q)
+                    if mom is None else mom)
+            else:
+                self._jit_cache[key] = jax.jit(
+                    lambda k, state: f(k, state=state))
         return self._jit_cache[key]
 
     def precompile(self, n_chains: int, stages: Sequence, n_draws: int,
@@ -375,7 +391,9 @@ class NUTSKernel:
             state: Optional[WarmupState] = None,
             state_transform=None,
             warmup_checkpoint_path: Optional[str] = None,
-            sample_checkpoint_path: Optional[str] = None) -> MCMCResult:
+            sample_checkpoint_path: Optional[str] = None,
+            keep_dims: Optional[Sequence] = None,
+            collect_moments: bool = False) -> MCMCResult:
         """``draw_block``: split sampling into device calls of at most this
         many draws — bounds single-execution wall time (remote runtimes kill
         multi-minute calls) and gives per-block progress reporting.
@@ -389,6 +407,14 @@ class NUTSKernel:
         ``warmup_checkpoint_path`` / ``sample_checkpoint_path``: checkpoint
         after every warmup stage / sampling block and resume from the file if
         it exists (``sample_checkpoint_path`` requires ``draw_block``).
+
+        ``keep_dims``: record only these coordinates in ``result.draws``
+        (memory-bounded mode for huge chain-count × dimension products —
+        BASELINE config 5's 10k × 1002 shape cannot store full draws).
+        ``collect_moments``: accumulate streaming split-chain moments over
+        EVERY coordinate during sampling; ``result.sample_moments`` then feeds
+        :func:`~inplacedhmc_tpu.diagnostics.split_rhat_from_moments` for full
+        R̂ coverage without stored draws.
         """
         reporter = reporter or NoProgressReport()
         if warmup_stages is None:
@@ -413,8 +439,32 @@ class NUTSKernel:
                              + (f" (thin {thin})" if thin > 1 else ""), n_draws)
         if sample_checkpoint_path is not None and draw_block is None:
             raise ValueError("sample_checkpoint_path requires draw_block")
+        kd = None if keep_dims is None else tuple(int(i) for i in keep_dims)
         if draw_block is None or draw_block >= n_draws:
-            out = self._sampling_fn(n_draws, thin)(k_sample, state)
+            out = self._sampling_fn(n_draws, thin, kd, collect_moments)(
+                k_sample, state)
+        elif collect_moments:
+            # block path with streaming moments: the moment carry (and its
+            # fixed qref) threads across blocks; offsets locate each block's
+            # draws in the global first/second half
+            mom = None
+            blocks = []
+            done = 0
+            z_cur = state.z
+            while done < n_draws:
+                nb = min(draw_block, n_draws - done)
+                k_sample, kb = jax.random.split(k_sample)
+                blk = self._sampling_fn(nb, thin, kd, True, done, n_draws)(
+                    kb, WarmupState(z=z_cur, metric=state.metric,
+                                    log_eps=state.log_eps), mom)
+                z_cur, mom = blk.z, blk.moments
+                blocks.append(blk._replace(moments=None))
+                done += nb
+                reporter.step(done)
+            out = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0) if xs[0].ndim else xs[0],
+                *blocks)
+            out = out._replace(z=z_cur, moments=mom)
         else:
             from .utils.checkpoint import (load_sampling_checkpoint,
                                            save_sampling_checkpoint)
@@ -450,7 +500,8 @@ class NUTSKernel:
                 lambda *xs: jnp.concatenate(xs, axis=0), *warmup_stats)
         final_state = WarmupState(z=out.z, metric=state.metric, log_eps=state.log_eps)
         return MCMCResult(draws=out.draws, stats=out.stats,
-                          warmup_state=final_state, warmup_stats=ws)
+                          warmup_state=final_state, warmup_stats=ws,
+                          sample_moments=out.moments)
 
 
 _KERNEL_CACHE: dict = {}
@@ -484,7 +535,9 @@ def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
                      draw_block: Optional[int] = None,
                      tuning_chunk: Optional[int] = None,
                      warmup_checkpoint_path: Optional[str] = None,
-                     sample_checkpoint_path: Optional[str] = None) -> MCMCResult:
+                     sample_checkpoint_path: Optional[str] = None,
+                     keep_dims: Optional[Sequence] = None,
+                     collect_moments: bool = False) -> MCMCResult:
     """NUTS with the default windowed warmup (``mcmc_with_warmup``,
     ``mcmc.jl:109-128``).  ``delta`` is the dual-averaging target acceptance
     rate (the reference's ``δ`` kwarg, ``mcmc.jl:110-111``)."""
@@ -499,7 +552,8 @@ def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
                     thin=thin, draw_block=draw_block,
                     tuning_chunk=tuning_chunk,
                     warmup_checkpoint_path=warmup_checkpoint_path,
-                    sample_checkpoint_path=sample_checkpoint_path)
+                    sample_checkpoint_path=sample_checkpoint_path,
+                    keep_dims=keep_dims, collect_moments=collect_moments)
 
 
 def threaded_mcmc(key, model: Model, n_draws: int, n_chains: int, *,

@@ -271,3 +271,41 @@ def test_streaming_dense_and_low_rank_warmup():
         np.testing.assert_allclose(q.var(0), np.diag(cov), rtol=0.4)
         acc = float(jnp.mean(out.stats.acceptance_rate))
         assert 0.6 < acc < 0.99, metric
+
+
+def test_keep_dims_and_streaming_moments():
+    """Memory-bounded sampling: keep_dims records a column subset of the same
+    chains, and streaming split-moments give bit-identical split-R-hat to the
+    stored-draws statistic (the 10k-chain x 1k-dim mode where draws are never
+    stored)."""
+    model = mvn(np.diag([4.0, 1.0, 0.25, 9.0]))
+    stages = default_warmup_stages(stepsize_adaptation=DualAveraging(),
+                                   init_steps=40, middle_steps=25,
+                                   doubling_stages=2, terminating_steps=25)
+    kw = dict(warmup_stages=stages, dtype=jnp.float64)
+    k = jax.random.PRNGKey(0)
+    full = mcmc_with_warmup(k, model, 300, 16, **kw)
+    mom = mcmc_with_warmup(k, model, 300, 16, collect_moments=True,
+                           keep_dims=(0, 2), **kw)
+    assert mom.draws.shape == (300, 16, 2)
+    np.testing.assert_allclose(np.asarray(mom.draws),
+                               np.asarray(full.draws)[:, :, [0, 2]])
+    r_full = np.asarray(diag.split_rhat(full.draws))
+    r_mom = np.asarray(diag.split_rhat_from_moments(mom.sample_moments))
+    np.testing.assert_allclose(r_mom, r_full, rtol=1e-9)
+
+
+def test_streaming_moments_across_draw_blocks():
+    """The moment carry threads across draw_block device calls: R-hat from
+    the accumulated moments equals R-hat from that run's own recorded draws
+    (the blocked RNG stream differs from the monolithic one by design)."""
+    model = mvn(np.diag([2.0, 1.0, 0.5]))
+    stages = default_warmup_stages(stepsize_adaptation=DualAveraging(),
+                                   init_steps=40, middle_steps=25,
+                                   doubling_stages=2, terminating_steps=25)
+    out = mcmc_with_warmup(jax.random.PRNGKey(1), model, 300, 16,
+                           warmup_stages=stages, dtype=jnp.float64,
+                           collect_moments=True, draw_block=130)
+    r_mom = np.asarray(diag.split_rhat_from_moments(out.sample_moments))
+    r_drw = np.asarray(diag.split_rhat(out.draws))
+    np.testing.assert_allclose(r_mom, r_drw, rtol=1e-9)
