@@ -52,6 +52,8 @@ def main():
                          "h_1..h_8) and take R-hat over ALL dims from "
                          "streaming split-moments")
     ap.add_argument("--draw-block", type=int, default=None)
+    ap.add_argument("--tuning-chunk", type=int, default=None)
+    ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
     if args.cpu:
@@ -69,9 +71,14 @@ def main():
 
     extra = {}
     t0 = time.perf_counter()
+    reporter = None
+    if args.verbose:
+        from inplacedhmc_tpu.report import LogProgressReport
+        reporter = LogProgressReport(time_interval_s=0.0)
     res = mcmc_with_warmup(jax.random.PRNGKey(args.seed), model, args.draws,
                            args.chains, warmup_stages=stages, dtype=dtype,
                            thin=args.thin, draw_block=args.draw_block,
+                           tuning_chunk=args.tuning_chunk, reporter=reporter,
                            keep_dims=tuple(range(10)) if args.moments else None,
                            collect_moments=args.moments)
     draws = np.asarray(res.draws)
