@@ -79,6 +79,7 @@ def main():
                            args.chains, warmup_stages=stages, dtype=dtype,
                            thin=args.thin, draw_block=args.draw_block,
                            tuning_chunk=args.tuning_chunk, reporter=reporter,
+                           sync_blocks=True,
                            keep_dims=tuple(range(10)) if args.moments else None,
                            collect_moments=args.moments)
     draws = np.asarray(res.draws)

@@ -33,7 +33,12 @@ from inplacedhmc_tpu.sample import mcmc_with_warmup
 
 def _summary(name, res, wall, checks):
     ess = np.asarray(diag.ess_bulk(res.draws))
-    rhat = np.asarray(diag.split_rhat(res.draws))
+    if res.sample_moments is not None:
+        # memory-bounded runs: R-hat over EVERY coordinate from the streamed
+        # split-moments (draws hold only keep_dims columns)
+        rhat = np.asarray(diag.split_rhat_from_moments(res.sample_moments))
+    else:
+        rhat = np.asarray(diag.split_rhat(res.draws))
     return {
         "config": name,
         "draws": list(res.draws.shape),
@@ -104,17 +109,26 @@ def run_eight_schools(scale):
 
 
 def run_stoch_vol(scale):
+    # round-2 recipe (benchmarks/sv_mixing.py sweep): a streamed DENSE metric
+    # at delta=0.9 fixes the hyperparameter mixing that a diag metric cannot
+    # (R-hat 1.73 -> ~1.01 at T=1000; the U-turn statistic is no longer
+    # dominated by the 1000 fast h coordinates once their scale is equalized)
     t_len = 1000 if scale == "full" else 100
-    n, c = (500, 64) if scale == "full" else (200, 16)
+    n, c, thin = (1250, 1024, 4) if scale == "full" else (200, 16, 1)
     returns = synthetic_returns(jax.random.PRNGKey(5), t_len, phi=0.97, s=0.15)
     model = stoch_vol(returns)
     stages = default_warmup_stages(local_optimization=None,
-                                   stepsize_adaptation=DualAveraging(delta=0.95),
-                                   middle_steps=50)
+                                   stepsize_adaptation=DualAveraging(delta=0.9),
+                                   doubling_stages=4,
+                                   metric="dense", stream=True)
     t0 = time.perf_counter()
     res = mcmc_with_warmup(jax.random.PRNGKey(6), model, n, c,
-                           warmup_stages=stages, dtype=jnp.float32)  # see
-    # results_round1.jsonl: the recorded long run uses thin=2 + draw_block
+                           warmup_stages=stages, dtype=jnp.float32,
+                           thin=thin, tuning_chunk=50,
+                           draw_block=25 if scale == "full" else None,
+                           sync_blocks=scale == "full",
+                           keep_dims=tuple(range(10)) if scale == "full" else None,
+                           collect_moments=scale == "full")
     wall = time.perf_counter() - t0
     post = model.constrain(res.draws)
     checks = {"phi_post_mean": round(float(np.asarray(post["phi"]).mean()), 3),

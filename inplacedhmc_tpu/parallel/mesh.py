@@ -63,7 +63,8 @@ def run_sharded(key, model, n_draws: int, n_chains: int, *, mesh: Mesh,
                 reporter=None, axis_name: str = "chain", thin: int = 1,
                 draw_block=None, tuning_chunk=None, use_pallas: str = "auto",
                 warmup_checkpoint_path=None, sample_checkpoint_path=None,
-                keep_dims=None, collect_moments: bool = False):
+                keep_dims=None, collect_moments: bool = False,
+                sync_blocks: bool = False):
     """Full warmup + sampling with chains sharded over ``mesh`` — same driver
     surface as the single-device path (``thin``, ``draw_block``,
     checkpointing; the reference's multi-chain driver has the full surface of
@@ -98,4 +99,5 @@ def run_sharded(key, model, n_draws: int, n_chains: int, *, mesh: Mesh,
                             st, mesh, n_chains, axis_name),
                         warmup_checkpoint_path=warmup_checkpoint_path,
                         sample_checkpoint_path=sample_checkpoint_path,
-                        keep_dims=keep_dims, collect_moments=collect_moments)
+                        keep_dims=keep_dims, collect_moments=collect_moments,
+                        sync_blocks=sync_blocks)

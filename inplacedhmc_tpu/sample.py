@@ -51,6 +51,14 @@ class MCMCResult(NamedTuple):
     sample_moments: Optional[object] = None
 
 
+def _sync_fence(z):
+    """Block until ``z`` is computed by fetching a tiny value.  On the remote
+    TPU tunnel a value fetch is the only reliable fence (``block_until_ready``
+    is not), and bounding the dispatch queue to one in-flight multi-second
+    call keeps the remote worker alive."""
+    float(jnp.sum(z.logp))
+
+
 def _shard_map_transition(trans, mesh, axis_name: str):
     """Wrap a fused whole-transition function so each device runs it on its
     local chain shard: inputs/outputs are sharded over ``axis_name`` on their
@@ -309,8 +317,8 @@ class NUTSKernel:
     # -- driver ---------------------------------------------------------------
 
     def warmup(self, key, state: WarmupState, stages: Sequence, reporter=None,
-               tuning_chunk: Optional[int] = None
-               ) -> Tuple[WarmupState, list]:
+               tuning_chunk: Optional[int] = None,
+               sync_blocks: bool = False) -> Tuple[WarmupState, list]:
         """Run the stage sequence (the ``_warmup!`` unroller, ``warmup.jl:397-408``).
 
         ``tuning_chunk``: split each TuningNUTS window into device calls of at
@@ -363,6 +371,8 @@ class NUTSKernel:
                         z_cur, da, mom = res.z, res.da, res.mom
                         parts.append(res)
                         done += nb
+                        if sync_blocks:
+                            _sync_fence(z_cur)
                         reporter.step(done)
                     qs = (None if stream else
                           jnp.concatenate([r.draws for r in parts], axis=0))
@@ -393,7 +403,8 @@ class NUTSKernel:
             warmup_checkpoint_path: Optional[str] = None,
             sample_checkpoint_path: Optional[str] = None,
             keep_dims: Optional[Sequence] = None,
-            collect_moments: bool = False) -> MCMCResult:
+            collect_moments: bool = False,
+            sync_blocks: bool = False) -> MCMCResult:
         """``draw_block``: split sampling into device calls of at most this
         many draws — bounds single-execution wall time (remote runtimes kill
         multi-minute calls) and gives per-block progress reporting.
@@ -415,6 +426,13 @@ class NUTSKernel:
         EVERY coordinate during sampling; ``result.sample_moments`` then feeds
         :func:`~inplacedhmc_tpu.diagnostics.split_rhat_from_moments` for full
         R̂ coverage without stored draws.
+
+        ``sync_blocks``: fetch a cheap value after every warmup chunk /
+        sampling block so at most one device call is ever in flight.  JAX
+        dispatch is async; on remote-attached runtimes (the TPU tunnel) an
+        unbounded dispatch queue of multi-second calls can crash the worker,
+        and ``block_until_ready`` is not a reliable fence there — a value
+        fetch is.  Costs one tiny [C]-sum transfer per block.
         """
         reporter = reporter or NoProgressReport()
         if warmup_stages is None:
@@ -434,7 +452,8 @@ class NUTSKernel:
         else:
             state, warmup_stats = self.warmup(k_warm, state, warmup_stages,
                                               reporter,
-                                              tuning_chunk=tuning_chunk)
+                                              tuning_chunk=tuning_chunk,
+                                              sync_blocks=sync_blocks)
         reporter.start_stage(f"sampling {n_draws} draws x {n_chains} chains"
                              + (f" (thin {thin})" if thin > 1 else ""), n_draws)
         if sample_checkpoint_path is not None and draw_block is None:
@@ -460,6 +479,8 @@ class NUTSKernel:
                 z_cur, mom = blk.z, blk.moments
                 blocks.append(blk._replace(moments=None))
                 done += nb
+                if sync_blocks:
+                    _sync_fence(z_cur)
                 reporter.step(done)
             out = jax.tree_util.tree_map(
                 lambda *xs: jnp.concatenate(xs, axis=0) if xs[0].ndim else xs[0],
@@ -485,6 +506,8 @@ class NUTSKernel:
                 z_cur = blk.z
                 blocks.append(blk)
                 done += nb
+                if sync_blocks:
+                    _sync_fence(z_cur)
                 if sample_checkpoint_path is not None:
                     save_sampling_checkpoint(sample_checkpoint_path, z_cur,
                                              k_sample, done, blocks)
@@ -537,7 +560,8 @@ def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
                      warmup_checkpoint_path: Optional[str] = None,
                      sample_checkpoint_path: Optional[str] = None,
                      keep_dims: Optional[Sequence] = None,
-                     collect_moments: bool = False) -> MCMCResult:
+                     collect_moments: bool = False,
+                     sync_blocks: bool = False) -> MCMCResult:
     """NUTS with the default windowed warmup (``mcmc_with_warmup``,
     ``mcmc.jl:109-128``).  ``delta`` is the dual-averaging target acceptance
     rate (the reference's ``δ`` kwarg, ``mcmc.jl:110-111``)."""
@@ -553,7 +577,8 @@ def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
                     tuning_chunk=tuning_chunk,
                     warmup_checkpoint_path=warmup_checkpoint_path,
                     sample_checkpoint_path=sample_checkpoint_path,
-                    keep_dims=keep_dims, collect_moments=collect_moments)
+                    keep_dims=keep_dims, collect_moments=collect_moments,
+                    sync_blocks=sync_blocks)
 
 
 def threaded_mcmc(key, model: Model, n_draws: int, n_chains: int, *,
