@@ -50,6 +50,7 @@ def __getattr__(name):
     if name in _LAZY:
         mod = importlib.import_module(".sample", __name__)
         return getattr(mod, name)
-    if name in ("diagnostics", "sample", "parallel", "models", "report"):
+    if name in ("diagnostics", "sample", "parallel", "models", "report",
+                "sketch"):
         return importlib.import_module("." + name, __name__)
     raise AttributeError(f"module 'inplacedhmc_tpu' has no attribute {name!r}")

@@ -64,6 +64,7 @@ def run_sharded(key, model, n_draws: int, n_chains: int, *, mesh: Mesh,
                 draw_block=None, tuning_chunk=None, use_pallas: str = "auto",
                 warmup_checkpoint_path=None, sample_checkpoint_path=None,
                 keep_dims=None, collect_moments: bool = False,
+                collect_sketch=None, store_draws: bool = True,
                 sync_blocks: bool = False):
     """Full warmup + sampling with chains sharded over ``mesh`` — same driver
     surface as the single-device path (``thin``, ``draw_block``,
@@ -100,4 +101,6 @@ def run_sharded(key, model, n_draws: int, n_chains: int, *, mesh: Mesh,
                         warmup_checkpoint_path=warmup_checkpoint_path,
                         sample_checkpoint_path=sample_checkpoint_path,
                         keep_dims=keep_dims, collect_moments=collect_moments,
+                        collect_sketch=collect_sketch,
+                        store_draws=store_draws,
                         sync_blocks=sync_blocks)

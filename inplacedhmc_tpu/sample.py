@@ -49,6 +49,11 @@ class MCMCResult(NamedTuple):
     #: requested ``collect_moments``) — feed to
     #: :func:`~inplacedhmc_tpu.diagnostics.split_rhat_from_moments`
     sample_moments: Optional[object] = None
+    #: streaming diagnostic sketch over the recorded coordinates (only when
+    #: the run requested ``collect_sketch``) — feed ``.rank`` to
+    #: :func:`~inplacedhmc_tpu.sketch.rank_rhat_from_sketch` and ``.acov`` to
+    #: :func:`~inplacedhmc_tpu.sketch.ess_from_sketch`
+    sample_sketch: Optional[object] = None
 
 
 def _sync_fence(z):
@@ -404,6 +409,8 @@ class NUTSKernel:
             sample_checkpoint_path: Optional[str] = None,
             keep_dims: Optional[Sequence] = None,
             collect_moments: bool = False,
+            collect_sketch=None,
+            store_draws: bool = True,
             sync_blocks: bool = False) -> MCMCResult:
         """``draw_block``: split sampling into device calls of at most this
         many draws — bounds single-execution wall time (remote runtimes kill
@@ -426,6 +433,14 @@ class NUTSKernel:
         EVERY coordinate during sampling; ``result.sample_moments`` then feeds
         :func:`~inplacedhmc_tpu.diagnostics.split_rhat_from_moments` for full
         R̂ coverage without stored draws.
+
+        ``collect_sketch``: a :class:`~inplacedhmc_tpu.sketch.SketchConfig`;
+        accumulates streaming rank-R̂ histograms + lag-window autocovariances
+        over the recorded coordinates, blockwise (requires ``draw_block``
+        unless sampling fits one call).  With ``store_draws=False`` the block
+        draw arrays are dropped after feeding the sketch/moments —
+        ``result.draws`` is then ``None`` and sampling memory is independent
+        of ``n_draws``.
 
         ``sync_blocks``: fetch a cheap value after every warmup chunk /
         sampling block so at most one device call is ever in flight.  JAX
@@ -459,10 +474,33 @@ class NUTSKernel:
         if sample_checkpoint_path is not None and draw_block is None:
             raise ValueError("sample_checkpoint_path requires draw_block")
         kd = None if keep_dims is None else tuple(int(i) for i in keep_dims)
+        if not store_draws and not (collect_sketch is not None or collect_moments):
+            raise ValueError("store_draws=False requires collect_sketch or "
+                             "collect_moments (nothing would be recorded)")
+        if not store_draws and sample_checkpoint_path is not None:
+            raise ValueError("store_draws=False cannot resume from sampling "
+                             "checkpoints (blocks are discarded)")
+        sk = None
+        if collect_sketch is not None:
+            from .sketch import init_stream_sketch, update_stream_sketch
+            q_kept = state.z.q if kd is None else jnp.take(
+                state.z.q, jnp.asarray(kd, jnp.int32), axis=-1)
+            sk = init_stream_sketch(q_kept, collect_sketch)
+            # offset/total stay traced so every block reuses one executable
+            self._sketch_update = getattr(
+                self, "_sketch_update", jax.jit(update_stream_sketch))
+
+        def _drop_draws(blk):
+            # keep the NamedTuple shape for the tree_map concatenate but
+            # carry a zero-width slice instead of the block's draw array
+            return blk._replace(draws=blk.draws[:, :0])
+
         if draw_block is None or draw_block >= n_draws:
             out = self._sampling_fn(n_draws, thin, kd, collect_moments)(
                 k_sample, state)
-        elif collect_moments:
+            if sk is not None:
+                sk = self._sketch_update(sk, out.draws, 0, n_draws)
+        elif collect_moments or sk is not None:
             # block path with streaming moments: the moment carry (and its
             # fixed qref) threads across blocks; offsets locate each block's
             # draws in the global first/second half
@@ -473,11 +511,16 @@ class NUTSKernel:
             while done < n_draws:
                 nb = min(draw_block, n_draws - done)
                 k_sample, kb = jax.random.split(k_sample)
-                blk = self._sampling_fn(nb, thin, kd, True, done, n_draws)(
+                blk = self._sampling_fn(nb, thin, kd, collect_moments, done,
+                                        n_draws)(
                     kb, WarmupState(z=z_cur, metric=state.metric,
-                                    log_eps=state.log_eps), mom)
+                                    log_eps=state.log_eps),
+                    *((mom,) if collect_moments else ()))
                 z_cur, mom = blk.z, blk.moments
-                blocks.append(blk._replace(moments=None))
+                if sk is not None:
+                    sk = self._sketch_update(sk, blk.draws, done, n_draws)
+                blk = blk._replace(moments=None)
+                blocks.append(blk if store_draws else _drop_draws(blk))
                 done += nb
                 if sync_blocks:
                     _sync_fence(z_cur)
@@ -522,9 +565,10 @@ class NUTSKernel:
             ws = jax.tree_util.tree_map(
                 lambda *xs: jnp.concatenate(xs, axis=0), *warmup_stats)
         final_state = WarmupState(z=out.z, metric=state.metric, log_eps=state.log_eps)
-        return MCMCResult(draws=out.draws, stats=out.stats,
+        return MCMCResult(draws=out.draws if store_draws else None,
+                          stats=out.stats,
                           warmup_state=final_state, warmup_stats=ws,
-                          sample_moments=out.moments)
+                          sample_moments=out.moments, sample_sketch=sk)
 
 
 _KERNEL_CACHE: dict = {}
@@ -561,6 +605,8 @@ def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
                      sample_checkpoint_path: Optional[str] = None,
                      keep_dims: Optional[Sequence] = None,
                      collect_moments: bool = False,
+                     collect_sketch=None,
+                     store_draws: bool = True,
                      sync_blocks: bool = False) -> MCMCResult:
     """NUTS with the default windowed warmup (``mcmc_with_warmup``,
     ``mcmc.jl:109-128``).  ``delta`` is the dual-averaging target acceptance
@@ -578,6 +624,7 @@ def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
                     warmup_checkpoint_path=warmup_checkpoint_path,
                     sample_checkpoint_path=sample_checkpoint_path,
                     keep_dims=keep_dims, collect_moments=collect_moments,
+                    collect_sketch=collect_sketch, store_draws=store_draws,
                     sync_blocks=sync_blocks)
 
 

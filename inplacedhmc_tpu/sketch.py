@@ -1,0 +1,272 @@
+"""Streaming diagnostic sketches: rank-normalized R-hat and bulk ESS with
+memory independent of the number of draws.
+
+The reference ships no R-hat/ESS at all (SURVEY.md C16); round 1 added the
+stored-draw estimators (:mod:`~inplacedhmc_tpu.diagnostics`) and streaming
+split-chain *moments* (split-R-hat only).  This module streams the two
+remaining draw-hungry diagnostics:
+
+- **Rank-normalized split-R-hat** (bulk + folded/tail, Vehtari et al. 2021)
+  from per-split-chain *histograms*: ``counts [2, C, D, B]``.  The rank-normal
+  transform ``z = ndtri(pooled ECDF)`` is a per-coordinate monotone map known
+  only at the end of sampling, but each chain half's mean/variance of ``z``
+  is a linear functional of its histogram — so exact-up-to-binning rank-R-hat
+  needs only ``O(C * D * B)`` memory, not ``O(N * C * D)``.  Memory note:
+  at the BASELINE config-5 shape (10k chains x 1002 dims) use a dims subset
+  or a small ``bins``; counts are int32.
+
+- **Bulk ESS** from a lag-window autocovariance carry: pooled-over-chains lag
+  sums ``[2, L+1, D]`` plus a ring of the last ``L`` centered draws
+  ``[L, C, D]``.  Geyer's initial-monotone-sequence estimator is applied to
+  lags ``0..L``; if the sequence has not gone negative by lag ``L`` the
+  estimate is flagged truncated (ESS then *over*-estimated — raise
+  ``max_lag``).  The per-chain mean corrections come from the split sums, so
+  the only O(C) state is the ring.
+
+Both sketches update **block-wise**: the sampling driver already materializes
+each ``draw_block`` of recorded draws before discarding it (``sample.py``),
+so streaming falls out of feeding every block through ``update_stream_sketch``
+— no change to the jitted transition loop.  All functions are jittable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@dataclasses.dataclass(frozen=True)
+class SketchConfig:
+    """Configuration for streaming diagnostic sketches.
+
+    ``bins``: histogram resolution per coordinate (rank-R-hat binning error
+    shrinks like 1/bins; 64 is within ~1e-3 of the exact statistic on
+    unimodal posteriors).  ``max_lag``: autocovariance window; must exceed
+    the largest integrated autocorrelation time tau you expect to resolve
+    (tau > ~2*max_lag is flagged, not silently wrong).  ``range_sigmas``:
+    histogram support is ``mean +- range_sigmas * sd`` of the cross-chain
+    post-warmup positions; values beyond it clip into the end bins."""
+
+    bins: int = 64
+    max_lag: int = 64
+    range_sigmas: float = 8.0
+
+
+class RankHistSketch(NamedTuple):
+    lo: jnp.ndarray       # [D] histogram lower edge per coordinate
+    width: jnp.ndarray    # [D] total support width
+    counts: jnp.ndarray   # [2, C, D, B] int32 per-half per-chain histograms
+    cnt: jnp.ndarray      # [2] float draws per half
+
+
+class AutocovSketch(NamedTuple):
+    qref: jnp.ndarray     # [C, D] fixed per-chain center (sampling start)
+    ring: jnp.ndarray     # [L, C, D] last L centered draws, chronological
+    s1: jnp.ndarray       # [2, C, D] per-half sums of centered draws
+    lag: jnp.ndarray      # [2, L+1, D] per-half lag sums, POOLED over chains
+    cnt_lag: jnp.ndarray  # [2, L+1] valid (same-half) pairs per lag
+    cnt: jnp.ndarray      # [2] draws per half
+
+
+class StreamSketch(NamedTuple):
+    rank: RankHistSketch
+    acov: AutocovSketch
+
+
+def init_stream_sketch(q: jnp.ndarray, config: SketchConfig = SketchConfig(),
+                       lo: Optional[jnp.ndarray] = None,
+                       hi: Optional[jnp.ndarray] = None) -> StreamSketch:
+    """``q``: post-warmup positions restricted to the sketched coordinates,
+    ``[C, D]``.  Histogram support defaults to the cross-chain
+    ``mean +- range_sigmas * sd`` of ``q`` (post-warmup chains are dispersed
+    across the posterior, so this covers it with wide margins)."""
+    c, d = q.shape
+    b, ell = config.bins, config.max_lag
+    dt = q.dtype
+    if lo is None or hi is None:
+        m = jnp.mean(q, axis=0)
+        sd = jnp.maximum(jnp.std(q, axis=0), 1e-6 * jnp.abs(m) + 1e-12)
+        lo = m - config.range_sigmas * sd
+        hi = m + config.range_sigmas * sd
+    rank = RankHistSketch(
+        lo=jnp.asarray(lo, dt), width=jnp.asarray(hi, dt) - jnp.asarray(lo, dt),
+        counts=jnp.zeros((2, c, d, b), jnp.int32), cnt=jnp.zeros((2,), dt))
+    acov = AutocovSketch(
+        qref=q, ring=jnp.zeros((ell, c, d), dt),
+        s1=jnp.zeros((2, c, d), dt), lag=jnp.zeros((2, ell + 1, d), dt),
+        cnt_lag=jnp.zeros((2, ell + 1), dt), cnt=jnp.zeros((2,), dt))
+    return StreamSketch(rank=rank, acov=acov)
+
+
+def _update_rank(sk: RankHistSketch, draws: jnp.ndarray, offset: int,
+                 total: int) -> RankHistSketch:
+    n, c, d = draws.shape
+    b = sk.counts.shape[-1]
+    idx = jnp.clip(((draws - sk.lo) / sk.width * b).astype(jnp.int32),
+                   0, b - 1)                               # [n, C, D]
+    halves = ((offset + jnp.arange(n)) >= total // 2).astype(jnp.int32)
+
+    def body(counts, xs):
+        ix, h = xs
+        onehot = (ix[..., None] == jnp.arange(b)).astype(jnp.int32)
+        return counts.at[h].add(onehot), None
+
+    counts, _ = lax.scan(body, sk.counts, (idx, halves))
+    cnt = sk.cnt.at[0].add(jnp.sum(halves == 0)).at[1].add(jnp.sum(halves == 1))
+    return sk._replace(counts=counts, cnt=cnt)
+
+
+def _update_acov(sk: AutocovSketch, draws: jnp.ndarray, offset: int,
+                 total: int) -> AutocovSketch:
+    n, c, d = draws.shape
+    ell = sk.ring.shape[0]
+    x = draws - sk.qref[None]                              # [n, C, D]
+    t = offset + jnp.arange(n)                             # global draw index
+    half_start = total // 2
+    halves = (t >= half_start).astype(jnp.int32)
+    h0 = (halves == 0).astype(x.dtype)[:, None, None]
+    s1 = sk.s1.at[0].add(jnp.sum(x * h0, axis=0)) \
+              .at[1].add(jnp.sum(x * (1.0 - h0), axis=0))
+    cnt = sk.cnt.at[0].add(jnp.sum(halves == 0)).at[1].add(jnp.sum(halves == 1))
+
+    # lag products against the extended sequence [ring tail | this block].
+    # xs_ext[j] is draw t = offset - L + j; pair (t, t-l) is valid when
+    # t-l >= 0 and both endpoints fall in the same global half.
+    xs_ext = jnp.concatenate([sk.ring, x], axis=0)         # [L+n, C, D]
+    lag = sk.lag
+    cnt_lag = sk.cnt_lag
+    for l in range(ell + 1):
+        x_past = lax.dynamic_slice_in_dim(xs_ext, ell - l, n, axis=0)
+        valid = (t - l) >= 0
+        same_half = ((t - l) >= half_start) == (t >= half_start)
+        for h in (0, 1):
+            sel = (valid & same_half & (halves == h)).astype(x.dtype)
+            prod = jnp.sum(jnp.sum(x * x_past, axis=1) * sel[:, None], axis=0)
+            lag = lag.at[h, l].add(prod)
+            cnt_lag = cnt_lag.at[h, l].add(jnp.sum(sel))
+    ring = xs_ext[-ell:] if n >= ell else jnp.concatenate(
+        [sk.ring[n:], x], axis=0)
+    return sk._replace(ring=ring, s1=s1, lag=lag, cnt_lag=cnt_lag, cnt=cnt)
+
+
+def update_stream_sketch(sk: StreamSketch, draws: jnp.ndarray, offset: int,
+                         total: int) -> StreamSketch:
+    """Fold one block of recorded draws ``[n, C, D]`` into the sketch.
+    ``offset``/``total`` locate the block inside the whole run (draw index
+    ``offset + i`` of ``total``), assigning draws to split halves."""
+    return StreamSketch(rank=_update_rank(sk.rank, draws, offset, total),
+                        acov=_update_acov(sk.acov, draws, offset, total))
+
+
+# ---------------------------------------------------------------------------
+# finalizers
+# ---------------------------------------------------------------------------
+
+def _split_rhat_of_z(counts: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    """Split-R-hat where each sequence's values are the per-bin scores ``z``
+    weighted by its histogram.  ``counts`` [2, C, D, B], ``z`` [D, B] -> [D]."""
+    cf = counts.astype(z.dtype)
+    n = jnp.maximum(jnp.sum(cf, axis=-1), 1.0)             # [2, C, D]
+    mean = jnp.einsum("hcdb,db->hcd", cf, z) / n
+    m2 = jnp.einsum("hcdb,db->hcd", cf, z * z) / n
+    var = jnp.maximum(m2 - mean * mean, 0.0) * n / jnp.maximum(n - 1.0, 1.0)
+    half = jnp.mean(n)
+    means = mean.reshape(-1, mean.shape[-1])               # [2C, D]
+    w = jnp.mean(var.reshape(-1, var.shape[-1]), axis=0)
+    b = half * jnp.var(means, axis=0, ddof=1)
+    var_plus = (half - 1.0) / half * w + b / half
+    return jnp.sqrt(var_plus / jnp.maximum(w, 1e-30))
+
+
+def _blom_z(avg_rank: jnp.ndarray, total: jnp.ndarray) -> jnp.ndarray:
+    frac = (avg_rank - 0.375) / (total + 0.25)
+    frac = jnp.clip(frac, 1e-7, 1.0 - 1e-7)
+    return jax.scipy.special.ndtri(frac)
+
+
+def rank_rhat_from_sketch(sk: RankHistSketch) -> jnp.ndarray:
+    """Rank-normalized split-R-hat (max of bulk and folded/tail) from the
+    histogram sketch — the streamed analog of
+    :func:`~inplacedhmc_tpu.diagnostics.rhat_rank`.  Values within a bin share
+    their average pooled rank (midrank), the standard treatment of ties; the
+    folded statistic folds bins around the pooled median bin midpoint."""
+    counts = sk.counts
+    b = counts.shape[-1]
+    p = jnp.sum(counts, axis=(0, 1)).astype(sk.lo.dtype)   # [D, B] pooled
+    total = jnp.sum(p, axis=-1, keepdims=True)
+    cum = jnp.cumsum(p, axis=-1)
+    avg_rank = cum - p + (p + 1.0) / 2.0                   # midranks, 1-based
+    z_bulk = _blom_z(avg_rank, total)
+    bulk = _split_rhat_of_z(counts, z_bulk)
+
+    # folded: |mid - median| ranks; median = midpoint of the bin where the
+    # pooled ECDF crosses 1/2
+    mids = sk.lo[:, None] + (jnp.arange(b) + 0.5) / b * sk.width[:, None]
+    med_bin = jnp.argmax(cum >= 0.5 * total, axis=-1)      # [D]
+    med = jnp.take_along_axis(mids, med_bin[:, None], axis=-1)
+    y = jnp.abs(mids - med)                                # [D, B]
+    order = jnp.argsort(y, axis=-1)
+    p_sorted = jnp.take_along_axis(p, order, axis=-1)
+    cum_s = jnp.cumsum(p_sorted, axis=-1)
+    rank_sorted = cum_s - p_sorted + (p_sorted + 1.0) / 2.0
+    rank_fold = jnp.zeros_like(rank_sorted)
+    rank_fold = jnp.put_along_axis(rank_fold, order, rank_sorted, axis=-1,
+                                   inplace=False)
+    z_tail = _blom_z(rank_fold, total)
+    tail = _split_rhat_of_z(counts, z_tail)
+    return jnp.maximum(bulk, tail)
+
+
+class StreamESS(NamedTuple):
+    ess: jnp.ndarray        # [D]
+    tau: jnp.ndarray        # [D] integrated autocorrelation time
+    truncated: jnp.ndarray  # [D] bool: window ended before Geyer truncation
+                            # (ess is then an over-estimate; raise max_lag)
+
+
+def ess_from_sketch(sk: AutocovSketch, n_chains: int,
+                    cap: bool = True) -> StreamESS:
+    """Bulk ESS from the lag-window sketch (Stan/Geyer estimator restricted
+    to lags ``0..max_lag``) — the streamed analog of
+    :func:`~inplacedhmc_tpu.diagnostics.ess_bulk`.
+
+    Per-half-chain lag sums are pooled over chains; the mean correction uses
+    ``E[sum_t x_t x_{t-l}] - cnt_l * mu_c^2`` per chain, whose chain sum is
+    exactly accumulable from the pooled lag sums and per-chain ``s1``."""
+    c = n_chains
+    dt = sk.lag.dtype
+    n = jnp.maximum(sk.cnt, 2.0)[:, None]                  # [2, 1]
+    mu = sk.s1 / n[..., None]                              # [2, C, D]
+    mu2_sum = jnp.sum(mu * mu, axis=1)                     # [2, D]
+    # acov[h, l, d] = mean over chains of per-chain lag-l autocovariance
+    # (biased /n normalization, matching _autocov_fft)
+    cl = sk.cnt_lag[..., None] / c                         # per-chain pairs
+    acov = (sk.lag / c - cl * mu2_sum[:, None]) / n[..., None]  # [2, L+1, D]
+    chain_var = acov[:, 0] * n / jnp.maximum(n - 1.0, 1.0)      # [2, D]
+    w = jnp.mean(chain_var, axis=0)                        # [D]
+    # between-half-chain variance of means needs per-chain means: [2C, D]
+    means = (sk.qref[None] + mu).reshape(2 * c, -1)
+    half = jnp.mean(n)
+    b = half * jnp.var(means, axis=0, ddof=1)
+    var_plus = (half - 1.0) / half * w + b / half
+
+    rho = 1.0 - (w[None] - jnp.mean(acov, axis=0)) / var_plus[None]  # [L+1, D]
+    ell1 = rho.shape[0]
+    n_pairs = ell1 // 2
+    d = rho.shape[-1]
+    p = rho[: 2 * n_pairs].reshape(n_pairs, 2, d).sum(axis=1)
+    pos = jnp.cumprod(p > 0, axis=0).astype(bool)
+    truncated = pos[-1]                                    # window exhausted
+    p = jnp.where(pos, p, 0.0)
+    p = lax.cummin(p, axis=0)
+    p = jnp.maximum(p, 0.0)
+    tau = jnp.maximum(-1.0 + 2.0 * jnp.sum(p, axis=0), 1e-8)
+    total = jnp.asarray(2 * c, dt) * half
+    ess = total / tau
+    if cap:
+        ess = jnp.minimum(ess, total)
+    return StreamESS(ess=ess, tau=tau, truncated=truncated)

@@ -1,0 +1,187 @@
+"""Streaming diagnostic sketches vs the stored-draw estimators.
+
+The sketches must reproduce the exact estimators up to (a) histogram binning
+for rank-R-hat and (b) the finite lag window + O(lag/n) mean-correction bias
+for ESS — both driven to tolerance here on synthetic AR(1) chains whose
+correlation structure is known.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inplacedhmc_tpu import diagnostics as diag
+from inplacedhmc_tpu.sketch import (SketchConfig, StreamESS, ess_from_sketch,
+                                    init_stream_sketch, rank_rhat_from_sketch,
+                                    update_stream_sketch)
+
+
+def _ar1_draws(key, n, c, d, rho=0.5, chain_shift=0.0, dtype=jnp.float64):
+    """AR(1) chains: x_t = rho x_{t-1} + sqrt(1-rho^2) e_t, optional
+    per-chain mean offsets to force R-hat > 1."""
+    ks = jax.random.split(key, 2)
+    e = jax.random.normal(ks[0], (n, c, d), dtype)
+
+    def step(x, en):
+        x = rho * x + jnp.sqrt(1.0 - rho ** 2) * en
+        return x, x
+
+    x0 = jax.random.normal(ks[1], (c, d), dtype)
+    _, xs = jax.lax.scan(step, x0, e)
+    if chain_shift:
+        shifts = chain_shift * jnp.linspace(-1.0, 1.0, c)[None, :, None]
+        xs = xs + shifts
+    return xs
+
+
+def _run_sketch(draws, config, n_blocks=4):
+    n, c, d = draws.shape
+    sk = init_stream_sketch(draws[0], config)
+    step = n // n_blocks
+    off = 0
+    for i in range(n_blocks):
+        blk = draws[off:off + step] if i < n_blocks - 1 else draws[off:]
+        sk = update_stream_sketch(sk, blk, off, n)
+        off += blk.shape[0]
+    return sk
+
+
+class TestRankRhat:
+    def test_matches_exact_on_mixed_chains(self):
+        draws = _ar1_draws(jax.random.PRNGKey(0), 512, 8, 3, rho=0.3)
+        sk = _run_sketch(draws, SketchConfig(bins=128, max_lag=16))
+        exact = np.asarray(diag.rhat_rank(draws))
+        sketched = np.asarray(rank_rhat_from_sketch(sk.rank))
+        np.testing.assert_allclose(sketched, exact, atol=0.01)
+        assert np.all(sketched < 1.02)
+
+    def test_detects_nonmixing_chains(self):
+        draws = _ar1_draws(jax.random.PRNGKey(1), 256, 8, 2, rho=0.3,
+                           chain_shift=2.0)
+        sk = _run_sketch(draws, SketchConfig(bins=128, max_lag=16))
+        exact = np.asarray(diag.rhat_rank(draws))
+        sketched = np.asarray(rank_rhat_from_sketch(sk.rank))
+        assert np.all(sketched > 1.2)
+        np.testing.assert_allclose(sketched, exact, rtol=0.05)
+
+    def test_tail_component_detects_variance_mismatch(self):
+        # equal means, unequal variances: bulk (mean-based) R-hat misses it,
+        # the folded/tail component must catch it
+        key = jax.random.PRNGKey(2)
+        n, c, d = 512, 8, 1
+        e = jax.random.normal(key, (n, c, d), jnp.float64)
+        scales = jnp.linspace(0.5, 2.0, c)[None, :, None]
+        draws = e * scales
+        sk = _run_sketch(draws, SketchConfig(bins=128, max_lag=16))
+        sketched = np.asarray(rank_rhat_from_sketch(sk.rank))
+        assert np.all(sketched > 1.05)
+
+    def test_blockwise_equals_oneshot(self):
+        draws = _ar1_draws(jax.random.PRNGKey(3), 128, 4, 2)
+        cfg = SketchConfig(bins=64, max_lag=8)
+        sk_a = _run_sketch(draws, cfg, n_blocks=1)
+        sk_b = _run_sketch(draws, cfg, n_blocks=5)
+        np.testing.assert_array_equal(np.asarray(sk_a.rank.counts),
+                                      np.asarray(sk_b.rank.counts))
+        np.testing.assert_allclose(np.asarray(sk_a.acov.lag),
+                                   np.asarray(sk_b.acov.lag), rtol=1e-10)
+
+
+class TestStreamESS:
+    @pytest.mark.parametrize("rho", [0.0, 0.5, 0.8])
+    def test_matches_fft_ess(self, rho):
+        n, c, d = 1024, 8, 3
+        draws = _ar1_draws(jax.random.PRNGKey(4), n, c, d, rho=rho)
+        sk = _run_sketch(draws, SketchConfig(bins=16, max_lag=64))
+        exact = np.asarray(diag.ess_bulk(draws, cap=False))
+        out = ess_from_sketch(sk.acov, c, cap=False)
+        assert isinstance(out, StreamESS)
+        assert not np.any(np.asarray(out.truncated))
+        np.testing.assert_allclose(np.asarray(out.ess), exact, rtol=0.12)
+        # tau should track the analytic AR(1) value (1+rho)/(1-rho)
+        tau_true = (1 + rho) / (1 - rho)
+        assert np.all(np.abs(np.asarray(out.tau) / tau_true - 1.0) < 0.5)
+
+    def test_truncation_flagged_for_slow_chain(self):
+        draws = _ar1_draws(jax.random.PRNGKey(5), 2048, 4, 1, rho=0.95)
+        sk = _run_sketch(draws, SketchConfig(bins=16, max_lag=8))
+        out = ess_from_sketch(sk.acov, 4)
+        assert bool(np.asarray(out.truncated)[0])
+
+    def test_cap(self):
+        draws = _ar1_draws(jax.random.PRNGKey(6), 256, 4, 1, rho=0.0)
+        sk = _run_sketch(draws, SketchConfig(bins=16, max_lag=16))
+        out = ess_from_sketch(sk.acov, 4, cap=True)
+        assert float(out.ess[0]) <= 256 * 4 + 1e-6
+
+    def test_jittable(self):
+        draws = _ar1_draws(jax.random.PRNGKey(7), 64, 4, 2)
+        cfg = SketchConfig(bins=16, max_lag=8)
+        sk = init_stream_sketch(draws[0], cfg)
+        upd = jax.jit(update_stream_sketch, static_argnums=(2, 3))
+        sk = upd(sk, draws, 0, 64)
+        r = jax.jit(rank_rhat_from_sketch)(sk.rank)
+        e = jax.jit(ess_from_sketch, static_argnums=(1, 2))(sk.acov, 4, True)
+        assert np.all(np.isfinite(np.asarray(r)))
+        assert np.all(np.isfinite(np.asarray(e.ess)))
+
+
+class TestDriverIntegration:
+    def test_store_draws_false_blockwise(self):
+        """collect_sketch + store_draws=False: draws dropped, sketch-based
+        diagnostics finite and matching a stored-draw run with the same key."""
+        import inplacedhmc_tpu.sample as S
+        from inplacedhmc_tpu.config import DualAveraging, default_warmup_stages
+        from inplacedhmc_tpu.models import std_normal
+
+        model = std_normal(4)
+        stages = default_warmup_stages(
+            stepsize_adaptation=DualAveraging(), init_steps=30,
+            middle_steps=25, doubling_stages=1, terminating_steps=20)
+        cfg = SketchConfig(bins=64, max_lag=32)
+        kw = dict(warmup_stages=stages, dtype=jnp.float64, draw_block=64,
+                  collect_sketch=cfg, collect_moments=True)
+        key = jax.random.PRNGKey(42)
+        lean = S.mcmc_with_warmup(key, model, 256, 16, store_draws=False, **kw)
+        full = S.mcmc_with_warmup(key, model, 256, 16, **kw)
+
+        assert lean.draws is None
+        assert full.draws.shape == (256, 16, 4)
+        # same RNG stream => identical sketches
+        np.testing.assert_array_equal(
+            np.asarray(lean.sample_sketch.rank.counts),
+            np.asarray(full.sample_sketch.rank.counts))
+        # stats still collected in lean mode
+        assert lean.stats.steps.shape == (256, 16)
+
+        r_sketch = np.asarray(rank_rhat_from_sketch(lean.sample_sketch.rank))
+        r_exact = np.asarray(diag.rhat_rank(full.draws))
+        np.testing.assert_allclose(r_sketch, r_exact, atol=0.02)
+        ess = ess_from_sketch(lean.sample_sketch.acov, 16)
+        ess_exact = np.asarray(diag.ess_bulk(full.draws))
+        ratio = np.asarray(ess.ess) / ess_exact
+        assert np.all(ratio > 0.6) and np.all(ratio < 1.7)
+
+    def test_single_call_path(self):
+        import inplacedhmc_tpu.sample as S
+        from inplacedhmc_tpu.config import DualAveraging, default_warmup_stages
+        from inplacedhmc_tpu.models import std_normal
+
+        stages = default_warmup_stages(
+            stepsize_adaptation=DualAveraging(), init_steps=20,
+            middle_steps=20, doubling_stages=1, terminating_steps=15)
+        out = S.mcmc_with_warmup(
+            jax.random.PRNGKey(0), std_normal(3), 128, 8,
+            warmup_stages=stages, dtype=jnp.float64,
+            collect_sketch=SketchConfig(bins=32, max_lag=16))
+        assert out.draws.shape == (128, 8, 3)
+        r = rank_rhat_from_sketch(out.sample_sketch.rank)
+        assert np.all(np.isfinite(np.asarray(r)))
+
+    def test_store_draws_requires_collector(self):
+        import inplacedhmc_tpu.sample as S
+        from inplacedhmc_tpu.models import std_normal
+        with pytest.raises(ValueError, match="store_draws"):
+            S.mcmc_with_warmup(jax.random.PRNGKey(0), std_normal(2), 8, 2,
+                               store_draws=False)
