@@ -245,6 +245,100 @@ def ess_tail(draws: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# posterior summary table (user-facing; no reference counterpart — the
+# reference prints only tree statistics, diagnostics.jl:103-127)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PosteriorSummary:
+    """Per-coordinate posterior table; ``str()`` renders it Stan-style."""
+
+    names: list
+    mean: np.ndarray
+    sd: np.ndarray
+    q5: np.ndarray
+    q50: np.ndarray
+    q95: np.ndarray
+    ess_bulk: np.ndarray
+    ess_tail: Optional[np.ndarray]
+    rhat: np.ndarray
+
+    def __str__(self):
+        hdr = (f"{'':>12} {'mean':>9} {'sd':>9} {'5%':>9} {'50%':>9} "
+               f"{'95%':>9} {'ess_bulk':>9} {'ess_tail':>9} {'rhat':>7}")
+        rows = [hdr]
+        for i, nm in enumerate(self.names):
+            et = "-" if self.ess_tail is None else f"{self.ess_tail[i]:9.0f}"
+            rows.append(
+                f"{nm:>12} {self.mean[i]:9.3f} {self.sd[i]:9.3f} "
+                f"{self.q5[i]:9.3f} {self.q50[i]:9.3f} {self.q95[i]:9.3f} "
+                f"{self.ess_bulk[i]:9.0f} {et:>9} {self.rhat[i]:7.3f}")
+        return "\n".join(rows)
+
+
+def _default_names(d, names):
+    if names is None:
+        return [f"q[{i}]" for i in range(d)]
+    return list(names)
+
+
+def posterior_summary(draws: jnp.ndarray, names=None) -> PosteriorSummary:
+    """Stan-style per-coordinate summary from stored draws ``[N, C, D]``:
+    moments, central quantiles, bulk/tail ESS, rank-normalized split-R̂."""
+    n, c, d = draws.shape
+    flat = np.asarray(draws.reshape(-1, d))
+    q5, q50, q95 = np.percentile(flat, [5.0, 50.0, 95.0], axis=0)
+    return PosteriorSummary(
+        names=_default_names(d, names),
+        mean=flat.mean(axis=0), sd=flat.std(axis=0, ddof=1),
+        q5=q5, q50=q50, q95=q95,
+        ess_bulk=np.asarray(ess_bulk(draws)),
+        ess_tail=np.asarray(ess_tail(draws)),
+        rhat=np.asarray(rhat_rank(draws)))
+
+
+def posterior_summary_streamed(sketch, n_chains: int,
+                               names=None) -> PosteriorSummary:
+    """The same table from a :class:`~inplacedhmc_tpu.sketch.StreamSketch`
+    (draw-free runs, ``store_draws=False``): moments and quantiles come from
+    the pooled histograms (exact up to binning — quantiles are interpolated
+    within bins), ESS from the lag-window sketch, R̂ from the rank sketch.
+    Tail ESS needs stored draws and is reported as ``None``."""
+    from .sketch import ess_from_sketch, rank_rhat_from_sketch
+
+    rk = sketch.rank
+    p = np.asarray(jnp.sum(rk.counts, axis=(0, 1))).astype(np.float64)  # [D, B]
+    d, b = p.shape
+    lo = np.asarray(rk.lo, np.float64)
+    width = np.asarray(rk.width, np.float64)
+    edges = lo[:, None] + np.arange(b + 1)[None] / b * width[:, None]
+    mids = 0.5 * (edges[:, :-1] + edges[:, 1:])
+    total = p.sum(-1, keepdims=True)
+    w = p / total
+    mean = (w * mids).sum(-1)
+    var = (w * (mids - mean[:, None]) ** 2).sum(-1)
+    cum = np.cumsum(p, axis=-1) / total
+
+    def quantile(q):
+        out = np.empty(d)
+        for i in range(d):
+            j = int(np.searchsorted(cum[i], q))
+            j = min(j, b - 1)
+            c0 = cum[i, j - 1] if j > 0 else 0.0
+            frac = (q - c0) / max(cum[i, j] - c0, 1e-12)
+            out[i] = edges[i, j] + frac * (edges[i, j + 1] - edges[i, j])
+        return out
+
+    ess = ess_from_sketch(sketch.acov, n_chains)
+    return PosteriorSummary(
+        names=_default_names(d, names),
+        mean=mean, sd=np.sqrt(var),
+        q5=quantile(0.05), q50=quantile(0.5), q95=quantile(0.95),
+        ess_bulk=np.asarray(ess.ess), ess_tail=None,
+        rhat=np.asarray(rank_rhat_from_sketch(rk)))
+
+
+# ---------------------------------------------------------------------------
 # acceptance-ratio exploration + leapfrog trajectory (diagnostics.jl:129-216)
 # ---------------------------------------------------------------------------
 

@@ -185,3 +185,21 @@ class TestDriverIntegration:
         with pytest.raises(ValueError, match="store_draws"):
             S.mcmc_with_warmup(jax.random.PRNGKey(0), std_normal(2), 8, 2,
                                store_draws=False)
+
+
+class TestPosteriorSummary:
+    def test_stored_vs_streamed_agree(self):
+        draws = _ar1_draws(jax.random.PRNGKey(11), 512, 8, 3, rho=0.4)
+        sk = _run_sketch(draws, SketchConfig(bins=256, max_lag=64))
+        s_full = diag.posterior_summary(draws, names=["a", "b", "c"])
+        s_lean = diag.posterior_summary_streamed(sk, 8, names=["a", "b", "c"])
+        np.testing.assert_allclose(s_lean.mean, s_full.mean, atol=0.05)
+        np.testing.assert_allclose(s_lean.sd, s_full.sd, rtol=0.05)
+        np.testing.assert_allclose(s_lean.q5, s_full.q5, atol=0.08)
+        np.testing.assert_allclose(s_lean.q50, s_full.q50, atol=0.08)
+        np.testing.assert_allclose(s_lean.q95, s_full.q95, atol=0.08)
+        np.testing.assert_allclose(s_lean.rhat, s_full.rhat, atol=0.01)
+        assert s_lean.ess_tail is None
+        # both render
+        assert "ess_bulk" in str(s_full) and "a" in str(s_lean)
+        assert len(str(s_full).splitlines()) == 4
