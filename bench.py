@@ -75,8 +75,8 @@ def bench_leapfrog_steps_per_sec(n_chains=10_240, dim=100, n_transitions=16,
     return total / dt, total, dt
 
 
-def bench_logistic_ess_per_sec(n_chains=2048, n_obs=10_000, n_feat=50,
-                               n_draws=512, dtype=jnp.float32):
+def bench_logistic_ess_per_sec(n_chains=8192, n_obs=10_000, n_feat=50,
+                               n_draws=256, dtype=jnp.float32):
     import inplacedhmc_tpu as ih
     from inplacedhmc_tpu import diagnostics as diag
     from inplacedhmc_tpu.config import DualAveraging, default_warmup_stages
@@ -138,8 +138,10 @@ def main():
         n_transitions=4 if quick else 16)
     extras = {"leapfrog_steps": lf_steps, "leapfrog_wall_s": round(lf_dt, 3)}
     try:
+        # 8192 chains / 256 draws: the measured-best ESS/s operating point
+        # (benchmarks/logistic_ab_c8192.json: 2.15M vs 1.93M at 2048)
         ess_min_rate, ess_mean_rate, sample_s, total_s = bench_logistic_ess_per_sec(
-            n_chains=128 if quick else 2048, n_draws=64 if quick else 512,
+            n_chains=128 if quick else 8192, n_draws=64 if quick else 256,
             n_obs=2000 if quick else 10_000)
         extras.update({
             "logistic_ess_min_per_s": round(ess_min_rate, 2),

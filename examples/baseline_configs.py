@@ -31,7 +31,7 @@ from inplacedhmc_tpu.models import (eight_schools, funnel, logistic_regression,
 from inplacedhmc_tpu.sample import mcmc_with_warmup
 
 
-def _summary(name, res, wall, checks):
+def _summary(name, res, wall, checks, delta=0.8):
     ess = np.asarray(diag.ess_bulk(res.draws))
     if res.sample_moments is not None:
         # memory-bounded runs: R-hat over EVERY coordinate from the streamed
@@ -41,6 +41,7 @@ def _summary(name, res, wall, checks):
         rhat = np.asarray(diag.split_rhat(res.draws))
     return {
         "config": name,
+        "delta": delta,
         "draws": list(res.draws.shape),
         "wall_s": round(wall, 2),
         "accept_mean": round(float(np.asarray(res.stats.acceptance_rate).mean()), 3),
@@ -77,7 +78,7 @@ def run_funnel(scale):
     v = np.asarray(res.draws)[..., 0].ravel()
     checks = {"v_std": round(float(v.std()), 3),
               "eps": round(float(np.exp(np.asarray(res.warmup_state.log_eps)).mean()), 4)}
-    return _summary("neal_funnel", res, wall, checks)
+    return _summary("neal_funnel", res, wall, checks, delta=0.9)
 
 
 def run_logistic(scale):
@@ -133,7 +134,7 @@ def run_stoch_vol(scale):
     post = model.constrain(res.draws)
     checks = {"phi_post_mean": round(float(np.asarray(post["phi"]).mean()), 3),
               "s_post_mean": round(float(np.asarray(post["s"]).mean()), 4)}
-    return _summary(f"stoch_vol_{t_len}", res, wall, checks)
+    return _summary(f"stoch_vol_{t_len}", res, wall, checks, delta=0.9)
 
 
 RUNNERS = {"normal": run_normal, "funnel": run_funnel, "logistic": run_logistic,

@@ -70,7 +70,8 @@ def _uniform_from_bits(shape):
 def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                  term_max_depth: int, term_div: int, term_turn: int,
                  physics=None, n_data: int = 1, use_prng: bool = True,
-                 dense: bool = False, ckpt_bf16: bool = False):
+                 dense: bool = False, ckpt_bf16: bool = False,
+                 ablate: frozenset = frozenset()):
     """``physics(q_tile, data_refs) -> (logp [bc,1], grad [bc,dpad])`` — the
     model's fused value+gradient on a chain tile; evaluated once per leapfrog
     step, once per subtree start (frontier grad), and once at the end.
@@ -82,6 +83,13 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
     bfloat16 — halves the dominant VMEM scratch (enables bigger chain tiles);
     turn *decisions* use the rounded values consistently in both directions,
     so the termination rule stays symmetric.
+
+    ``ablate``: INTERNAL measurement hooks (benchmarks/tree_kernel_ablate.py)
+    that statically remove bookkeeping subsystems to attribute kernel time —
+    the resulting kernel is NOT a correct NUTS transition.  Tokens:
+    ``"turns"`` (within-subtree U-turn checks), ``"ckpt"`` (checkpoint-stack
+    stores), ``"proposal"`` (progressive proposal sampling), ``"stats"``
+    (visited statistics + failure records).
     """
     md1 = max_depth + 1
     nbits = max(1, max_depth - 1)
@@ -217,11 +225,12 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 i_new = geti(I_BASE) + (n + 1) * signi
 
                 # visited stats (NUTS.jl:58-86)
-                setf(LSA, jnp.where(mask,
-                                    jnp.logaddexp(getf(LSA),
-                                                  jnp.minimum(delta, 0.0)),
-                                    getf(LSA)))
-                seti(STEPS, geti(STEPS) + mask.astype(jnp.int32))
+                if "stats" not in ablate:
+                    setf(LSA, jnp.where(mask,
+                                        jnp.logaddexp(getf(LSA),
+                                                      jnp.minimum(delta, 0.0)),
+                                        getf(LSA)))
+                    seti(STEPS, geti(STEPS) + mask.astype(jnp.int32))
 
                 # checkpoint store: even leaves to slot popcount(n>>1), odd
                 # leaves to the dummy slot (branch-free)
@@ -234,10 +243,11 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 # the untiled leading dim, which Mosaic allows for any dtype
                 # (a dynamic index into a *tiled* dim needs packing-aligned
                 # offsets and rejects bf16)
-                ckpt_s[pl.ds(slot, 1)] = \
-                    s_cum[:][None].astype(ckpt_dtype)
-                ckpt_ps[pl.ds(slot, 1)] = \
-                    ps_new[None].astype(ckpt_dtype)
+                if "ckpt" not in ablate:
+                    ckpt_s[pl.ds(slot, 1)] = \
+                        s_cum[:][None].astype(ckpt_dtype)
+                    ckpt_ps[pl.ds(slot, 1)] = \
+                        ps_new[None].astype(ckpt_dtype)
                 s_cum[:] = s_cum[:] + maskf * p_new
 
                 # within-subtree U-turn checks, innermost-first; at subtree
@@ -245,7 +255,7 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 turning = jnp.zeros((bc, 1), jnp.bool_)
                 turn_pos = zi
                 sc = s_cum[:]
-                if d_level > 0:
+                if d_level > 0 and "turns" not in ablate:
                     t_ones = _trailing_ones(n)
                     idx_max = _popcount(n >> 1)
                     for m in range(d_level):
@@ -269,16 +279,17 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 turning = jnp.logical_and(turning, ~divergent)
 
                 # progressive subtree proposal (unbiased multinomial)
-                omega_new = jnp.logaddexp(getf(OMEGA_SUB), delta)
-                u = _u((1 << d_level) - 1 + n)
-                take = jnp.log(u) < (delta - omega_new)
-                upd = jnp.logical_and(mask, ~divergent)
-                takeb = jnp.logical_and(upd, take)
-                takef = takeb.astype(jnp.float32)
-                sub_q[:] = takef * q_new + (1.0 - takef) * sub_q[:]
-                setf(SUB_DELTA, jnp.where(takeb, delta, getf(SUB_DELTA)))
-                setf(SUB_LOGP, jnp.where(takeb, logp_new, getf(SUB_LOGP)))
-                setf(OMEGA_SUB, jnp.where(upd, omega_new, getf(OMEGA_SUB)))
+                if "proposal" not in ablate:
+                    omega_new = jnp.logaddexp(getf(OMEGA_SUB), delta)
+                    u = _u((1 << d_level) - 1 + n)
+                    take = jnp.log(u) < (delta - omega_new)
+                    upd = jnp.logical_and(mask, ~divergent)
+                    takeb = jnp.logical_and(upd, take)
+                    takef = takeb.astype(jnp.float32)
+                    sub_q[:] = takef * q_new + (1.0 - takef) * sub_q[:]
+                    setf(SUB_DELTA, jnp.where(takeb, delta, getf(SUB_DELTA)))
+                    setf(SUB_LOGP, jnp.where(takeb, logp_new, getf(SUB_LOGP)))
+                    setf(OMEGA_SUB, jnp.where(upd, omega_new, getf(OMEGA_SUB)))
 
                 # frontier + failure records
                 cur_q[:] = maskf * q_new + (1.0 - maskf) * q
@@ -287,14 +298,15 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 died_div = jnp.logical_and(mask, divergent)
                 died_turn = jnp.logical_and(mask, turning)
                 died = jnp.logical_or(died_div, died_turn)
-                seti(DIE_L, jnp.where(died_div, i_new,
-                                      jnp.where(died_turn,
-                                                jnp.minimum(turn_pos, i_new),
-                                                geti(DIE_L))))
-                seti(DIE_R, jnp.where(died_div, i_new,
-                                      jnp.where(died_turn,
-                                                jnp.maximum(turn_pos, i_new),
-                                                geti(DIE_R))))
+                if "stats" not in ablate:
+                    seti(DIE_L, jnp.where(died_div, i_new,
+                                          jnp.where(died_turn,
+                                                    jnp.minimum(turn_pos, i_new),
+                                                    geti(DIE_L))))
+                    seti(DIE_R, jnp.where(died_div, i_new,
+                                          jnp.where(died_turn,
+                                                    jnp.maximum(turn_pos, i_new),
+                                                    geti(DIE_R))))
                 seti(DIED_DIV, geti(DIED_DIV) | died_div.astype(jnp.int32))
                 seti(DIED_TURN, geti(DIED_TURN) | died_turn.astype(jnp.int32))
                 seti(ALIVE, jnp.where(died, 0, geti(ALIVE)))
@@ -328,14 +340,19 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
             # epilogue (tree.jl:416-438)
             m = geti(ALIVE) > 0
             mf = m.astype(jnp.float32)
-            u2 = _u((1 << max_depth) - 1 + d)
-            take2 = jnp.logical_and(m, jnp.log(u2) < (getf(OMEGA_SUB) - getf(OMEGA)))
-            t2f = take2.astype(jnp.float32)
-            prop_q[:] = t2f * sub_q[:] + (1.0 - t2f) * prop_q[:]
-            setf(PROP_DELTA, jnp.where(take2, getf(SUB_DELTA), getf(PROP_DELTA)))
-            setf(PROP_LOGP, jnp.where(take2, getf(SUB_LOGP), getf(PROP_LOGP)))
-            setf(OMEGA, jnp.where(m, jnp.logaddexp(getf(OMEGA), getf(OMEGA_SUB)),
-                                  getf(OMEGA)))
+            if "proposal" not in ablate:
+                u2 = _u((1 << max_depth) - 1 + d)
+                take2 = jnp.logical_and(
+                    m, jnp.log(u2) < (getf(OMEGA_SUB) - getf(OMEGA)))
+                t2f = take2.astype(jnp.float32)
+                prop_q[:] = t2f * sub_q[:] + (1.0 - t2f) * prop_q[:]
+                setf(PROP_DELTA, jnp.where(take2, getf(SUB_DELTA),
+                                           getf(PROP_DELTA)))
+                setf(PROP_LOGP, jnp.where(take2, getf(SUB_LOGP),
+                                          getf(PROP_LOGP)))
+                setf(OMEGA, jnp.where(m, jnp.logaddexp(getf(OMEGA),
+                                                       getf(OMEGA_SUB)),
+                                      getf(OMEGA)))
 
             sign = getf(SIGN)
             isf2 = sign > 0
@@ -399,7 +416,8 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
 
 def _build_transition_padded(physics, data_arrays, max_depth: int,
                              min_delta: float, block_c: int, interpret: bool,
-                             dense: bool = False, ckpt_bf16: bool = False):
+                             dense: bool = False, ckpt_bf16: bool = False,
+                             ablate: frozenset = frozenset()):
     """Construct the jitted padded-transition function for one physics/data
     configuration.  ``data_arrays``: tuple of 2-D f32 arrays passed whole into
     VMEM (model data: design matrices, observations, masks...)."""
@@ -437,7 +455,7 @@ def _build_transition_padded(physics, data_arrays, max_depth: int,
                          Termination.MAX_DEPTH, Termination.DIVERGENCE,
                          Termination.TURNING, physics=physics, n_data=n_data,
                          use_prng=not interpret, dense=dense,
-                         ckpt_bf16=ckpt_bf16)
+                         ckpt_bf16=ckpt_bf16, ablate=ablate)
         if interpret:
             uspec = pl.BlockSpec((n_unif, bc), lambda i: (0, i),
                                  memory_space=pltpu.VMEM)
@@ -485,7 +503,8 @@ _RUN_CACHE: dict = {}
 def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
                          max_depth: int = 10, min_delta: float = -1000.0,
                          block_c: int = 256, interpret: bool = False,
-                         ckpt_bf16: bool = False):
+                         ckpt_bf16: bool = False,
+                         _ablate: frozenset = frozenset()):
     """Whole-transition kernel for **arbitrary tile physics**.
 
     ``tile_logp(q_tile [BC, dpad], data: dict[str, Ref]) -> logp [BC, 1]``
@@ -546,7 +565,7 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
     # the metric is a runtime argument of `run`
     cache_key = (tile_logp, tuple(names), tuple(a.shape for a in padded),
                  dim, max_depth, float(min_delta), block_c, interpret,
-                 dense, ckpt_bf16)
+                 dense, ckpt_bf16, _ablate)
     if cache_key in _RUN_CACHE:
         run = _RUN_CACHE[cache_key]
     else:
@@ -564,7 +583,8 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
 
         run = _build_transition_padded(physics, padded + (lane_mask,),
                                        max_depth, min_delta, block_c, interpret,
-                                       dense=dense, ckpt_bf16=ckpt_bf16)
+                                       dense=dense, ckpt_bf16=ckpt_bf16,
+                                       ablate=_ablate)
         _RUN_CACHE[cache_key] = run
 
     def transition(key, z, eps, *, directions=None, momentum=None):
@@ -621,7 +641,8 @@ def _gaussian_tile_logp(q, refs):
 def make_gaussian_tree_transition(precision, metric_inv, *, max_depth: int = 10,
                                   min_delta: float = -1000.0,
                                   block_c: int = 512, interpret: bool = False,
-                                  ckpt_bf16: bool = False):
+                                  ckpt_bf16: bool = False,
+                                  _ablate: frozenset = frozenset()):
     """Whole-transition kernel for ``grad = -precision * q`` targets — the
     flagship benchmark configuration, built on :func:`make_tree_transition`.
     The module-level ``_gaussian_tile_logp`` keeps the build cache shared
@@ -631,7 +652,8 @@ def make_gaussian_tree_transition(precision, metric_inv, *, max_depth: int = 10,
     return make_tree_transition(_gaussian_tile_logp, {"lam": precision}, d,
                                 metric_inv, max_depth=max_depth,
                                 min_delta=min_delta, block_c=block_c,
-                                interpret=interpret, ckpt_bf16=ckpt_bf16)
+                                interpret=interpret, ckpt_bf16=ckpt_bf16,
+                                _ablate=_ablate)
 
 
 _LOGISTIC_TILE_CACHE: dict = {}
