@@ -330,11 +330,15 @@ def posterior_summary_streamed(sketch, n_chains: int,
         return out
 
     ess = ess_from_sketch(sketch.acov, n_chains)
+    et = None
+    if sketch.tail is not None:
+        from .sketch import ess_tail_from_sketch
+        et = np.asarray(ess_tail_from_sketch(sketch.tail, n_chains).ess)
     return PosteriorSummary(
         names=_default_names(d, names),
         mean=mean, sd=np.sqrt(var),
         q5=quantile(0.05), q50=quantile(0.5), q95=quantile(0.95),
-        ess_bulk=np.asarray(ess.ess), ess_tail=None,
+        ess_bulk=np.asarray(ess.ess), ess_tail=et,
         rhat=np.asarray(rank_rhat_from_sketch(rk)))
 
 

@@ -518,6 +518,13 @@ class NUTSKernel:
                     *((mom,) if collect_moments else ()))
                 z_cur, mom = blk.z, blk.moments
                 if sk is not None:
+                    if (collect_sketch.tail and sk.tail is None and done > 0
+                            and done >= collect_sketch.tail_after * n_draws
+                            and done < n_draws):
+                        # freeze 5%/95% thresholds from the histogram so far;
+                        # indicator autocovs stream over the remaining blocks
+                        from .sketch import activate_tail
+                        sk = activate_tail(sk, collect_sketch, done)
                     sk = self._sketch_update(sk, blk.draws, done, n_draws)
                 blk = blk._replace(moments=None)
                 blocks.append(blk if store_draws else _drop_draws(blk))

@@ -49,11 +49,22 @@ class SketchConfig:
     the largest integrated autocorrelation time tau you expect to resolve
     (tau > ~2*max_lag is flagged, not silently wrong).  ``range_sigmas``:
     histogram support is ``mean +- range_sigmas * sd`` of the cross-chain
-    post-warmup positions; values beyond it clip into the end bins."""
+    post-warmup positions; values beyond it clip into the end bins.
+
+    ``tail``: also stream tail-ESS (Vehtari et al. 2021: min ESS of the
+    5%/95% quantile-indicator sequences).  The thresholds are not known
+    during a streaming pass, so they are frozen from the pooled histogram
+    once ``tail_after`` of the draws have arrived and the indicator
+    autocovariances stream over the remainder — a two-phase protocol: the
+    reported tail ESS covers the last ``1 - tail_after`` of the run (with
+    threshold error O(1/sqrt(first-phase draws)), immaterial against the
+    indicator-sequence noise).  Requires blockwise updates (``draw_block``)."""
 
     bins: int = 64
     max_lag: int = 64
     range_sigmas: float = 8.0
+    tail: bool = True
+    tail_after: float = 0.5
 
 
 class RankHistSketch(NamedTuple):
@@ -72,9 +83,20 @@ class AutocovSketch(NamedTuple):
     cnt: jnp.ndarray      # [2] draws per half
 
 
+class TailSketch(NamedTuple):
+    """Second-phase indicator autocovariances for streamed tail ESS."""
+
+    q05: jnp.ndarray      # [D] frozen 5% thresholds
+    q95: jnp.ndarray      # [D] frozen 95% thresholds
+    lo: AutocovSketch     # over I(x <= q05)
+    hi: AutocovSketch     # over I(x <= q95)
+    start: jnp.ndarray    # scalar: global draw index where phase 2 began
+
+
 class StreamSketch(NamedTuple):
     rank: RankHistSketch
     acov: AutocovSketch
+    tail: Optional[TailSketch] = None
 
 
 def init_stream_sketch(q: jnp.ndarray, config: SketchConfig = SketchConfig(),
@@ -158,8 +180,76 @@ def update_stream_sketch(sk: StreamSketch, draws: jnp.ndarray, offset: int,
     """Fold one block of recorded draws ``[n, C, D]`` into the sketch.
     ``offset``/``total`` locate the block inside the whole run (draw index
     ``offset + i`` of ``total``), assigning draws to split halves."""
+    tail = sk.tail
+    if tail is not None:
+        dt = draws.dtype
+        off_t = offset - tail.start
+        tot_t = total - tail.start
+        tail = tail._replace(
+            lo=_update_acov(tail.lo, (draws <= tail.q05[None, None]).astype(dt),
+                            off_t, tot_t),
+            hi=_update_acov(tail.hi, (draws <= tail.q95[None, None]).astype(dt),
+                            off_t, tot_t))
     return StreamSketch(rank=_update_rank(sk.rank, draws, offset, total),
-                        acov=_update_acov(sk.acov, draws, offset, total))
+                        acov=_update_acov(sk.acov, draws, offset, total),
+                        tail=tail)
+
+
+def quantiles_from_hist(sk: RankHistSketch, qs) -> jnp.ndarray:
+    """Pooled posterior quantiles from the histogram, interpolated within
+    bins.  ``qs``: sequence of probabilities -> ``[len(qs), D]``."""
+    p = jnp.sum(sk.counts, axis=(0, 1)).astype(sk.lo.dtype)   # [D, B]
+    d, b = p.shape
+    total = jnp.sum(p, axis=-1, keepdims=True)
+    cum = jnp.cumsum(p, axis=-1) / jnp.maximum(total, 1.0)    # [D, B]
+    edges = sk.lo[:, None] + jnp.arange(b + 1) / b * sk.width[:, None]
+    qs = jnp.asarray(qs, sk.lo.dtype)
+
+    def one(q):
+        j = jnp.argmax(cum >= q, axis=-1)                     # [D]
+        c1 = jnp.take_along_axis(cum, j[:, None], axis=-1)[:, 0]
+        c0 = jnp.where(j > 0,
+                       jnp.take_along_axis(cum, jnp.maximum(j - 1, 0)[:, None],
+                                           axis=-1)[:, 0], 0.0)
+        e0 = jnp.take_along_axis(edges, j[:, None], axis=-1)[:, 0]
+        e1 = jnp.take_along_axis(edges, (j + 1)[:, None], axis=-1)[:, 0]
+        frac = (q - c0) / jnp.maximum(c1 - c0, 1e-12)
+        return e0 + frac * (e1 - e0)
+
+    return jax.vmap(one)(qs)
+
+
+def activate_tail(sk: StreamSketch, config: SketchConfig,
+                  start: int) -> StreamSketch:
+    """Begin tail-ESS phase 2: freeze the 5%/95% thresholds from the pooled
+    histogram accumulated so far and start indicator autocovariance sketches
+    for the draws from global index ``start`` on."""
+    qlohi = quantiles_from_hist(sk.rank, jnp.asarray([0.05, 0.95]))
+    c, d = sk.acov.qref.shape
+    ell = sk.acov.ring.shape[0]
+    dt = sk.acov.qref.dtype
+
+    def ind_sketch():
+        return AutocovSketch(
+            qref=jnp.zeros((c, d), dt), ring=jnp.zeros((ell, c, d), dt),
+            s1=jnp.zeros((2, c, d), dt), lag=jnp.zeros((2, ell + 1, d), dt),
+            cnt_lag=jnp.zeros((2, ell + 1), dt), cnt=jnp.zeros((2,), dt))
+
+    return sk._replace(tail=TailSketch(
+        q05=qlohi[0], q95=qlohi[1], lo=ind_sketch(), hi=ind_sketch(),
+        start=jnp.asarray(start, jnp.int32)))
+
+
+def ess_tail_from_sketch(ts: TailSketch, n_chains: int,
+                         cap: bool = True) -> StreamESS:
+    """Streamed tail ESS: min of the bulk-ESS of the two frozen-threshold
+    quantile-indicator sequences (covers the phase-2 draws only)."""
+    lo = ess_from_sketch(ts.lo, n_chains, cap=cap)
+    hi = ess_from_sketch(ts.hi, n_chains, cap=cap)
+    take_lo = lo.ess <= hi.ess
+    return StreamESS(ess=jnp.minimum(lo.ess, hi.ess),
+                     tau=jnp.where(take_lo, lo.tau, hi.tau),
+                     truncated=jnp.where(take_lo, lo.truncated, hi.truncated))
 
 
 # ---------------------------------------------------------------------------
@@ -252,7 +342,7 @@ def ess_from_sketch(sk: AutocovSketch, n_chains: int,
     means = (sk.qref[None] + mu).reshape(2 * c, -1)
     half = jnp.mean(n)
     b = half * jnp.var(means, axis=0, ddof=1)
-    var_plus = (half - 1.0) / half * w + b / half
+    var_plus = jnp.maximum((half - 1.0) / half * w + b / half, 1e-30)
 
     rho = 1.0 - (w[None] - jnp.mean(acov, axis=0)) / var_plus[None]  # [L+1, D]
     ell1 = rho.shape[0]

@@ -203,3 +203,50 @@ class TestPosteriorSummary:
         # both render
         assert "ess_bulk" in str(s_full) and "a" in str(s_lean)
         assert len(str(s_full).splitlines()) == 4
+
+
+class TestTailESS:
+    def test_matches_stored_tail_ess(self):
+        from inplacedhmc_tpu.sketch import activate_tail, ess_tail_from_sketch
+        n, c, d = 1024, 8, 3
+        draws = _ar1_draws(jax.random.PRNGKey(21), n, c, d, rho=0.5)
+        cfg = SketchConfig(bins=256, max_lag=64)
+        sk = init_stream_sketch(draws[0], cfg)
+        # phase 1: first half builds the histogram
+        sk = update_stream_sketch(sk, draws[: n // 2], 0, n)
+        sk = activate_tail(sk, cfg, n // 2)
+        # phase 2: indicators stream over the second half, blockwise
+        for off in range(n // 2, n, 128):
+            sk = update_stream_sketch(sk, draws[off:off + 128], off, n)
+        out = ess_tail_from_sketch(sk.tail, c)
+        # reference: exact tail ESS on the second half only (the phase the
+        # streamed estimate covers)
+        exact = np.asarray(diag.ess_tail(draws[n // 2:]))
+        ratio = np.asarray(out.ess) / exact
+        assert np.all(ratio > 0.5) and np.all(ratio < 2.0), ratio
+        # thresholds from the first-half histogram track the pooled quantiles
+        flat = np.asarray(draws[: n // 2]).reshape(-1, d)
+        np.testing.assert_allclose(np.asarray(sk.tail.q05),
+                                   np.percentile(flat, 5, axis=0), atol=0.1)
+
+    def test_driver_activates_tail(self):
+        import inplacedhmc_tpu.sample as S
+        from inplacedhmc_tpu.config import DualAveraging, default_warmup_stages
+        from inplacedhmc_tpu.models import std_normal
+        from inplacedhmc_tpu.sketch import ess_tail_from_sketch
+
+        stages = default_warmup_stages(
+            stepsize_adaptation=DualAveraging(), init_steps=25,
+            middle_steps=20, doubling_stages=1, terminating_steps=15)
+        out = S.mcmc_with_warmup(
+            jax.random.PRNGKey(8), std_normal(3), 256, 8,
+            warmup_stages=stages, dtype=jnp.float64, draw_block=64,
+            collect_sketch=SketchConfig(bins=64, max_lag=32),
+            store_draws=False)
+        assert out.sample_sketch.tail is not None
+        assert int(out.sample_sketch.tail.start) == 128
+        te = ess_tail_from_sketch(out.sample_sketch.tail, 8)
+        assert np.all(np.isfinite(np.asarray(te.ess)))
+        assert np.all(np.asarray(te.ess) > 50)
+        s = diag.posterior_summary_streamed(out.sample_sketch, 8)
+        assert s.ess_tail is not None and "ess_tail" in str(s)
