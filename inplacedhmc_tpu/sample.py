@@ -477,9 +477,6 @@ class NUTSKernel:
         if not store_draws and not (collect_sketch is not None or collect_moments):
             raise ValueError("store_draws=False requires collect_sketch or "
                              "collect_moments (nothing would be recorded)")
-        if not store_draws and sample_checkpoint_path is not None:
-            raise ValueError("store_draws=False cannot resume from sampling "
-                             "checkpoints (blocks are discarded)")
         sk = None
         if collect_sketch is not None:
             from .sketch import init_stream_sketch, update_stream_sketch
@@ -504,10 +501,20 @@ class NUTSKernel:
             # block path with streaming moments: the moment carry (and its
             # fixed qref) threads across blocks; offsets locate each block's
             # draws in the global first/second half
+            from .utils.checkpoint import (load_lean_checkpoint,
+                                           save_lean_checkpoint)
             mom = None
             blocks = []
             done = 0
             z_cur = state.z
+            if sample_checkpoint_path is not None:
+                resumed = load_lean_checkpoint(sample_checkpoint_path)
+                if resumed is not None:
+                    z_cur, k_sample, done, blocks, mom, sk_r = resumed
+                    # accumulators only survive a resume under the same options
+                    mom = mom if collect_moments else None
+                    sk = sk_r if collect_sketch is not None else None
+                    reporter.step(done)
             while done < n_draws:
                 nb = min(draw_block, n_draws - done)
                 k_sample, kb = jax.random.split(k_sample)
@@ -531,6 +538,9 @@ class NUTSKernel:
                 done += nb
                 if sync_blocks:
                     _sync_fence(z_cur)
+                if sample_checkpoint_path is not None:
+                    save_lean_checkpoint(sample_checkpoint_path, z_cur,
+                                         k_sample, done, blocks, mom, sk)
                 reporter.step(done)
             out = jax.tree_util.tree_map(
                 lambda *xs: jnp.concatenate(xs, axis=0) if xs[0].ndim else xs[0],

@@ -115,6 +115,104 @@ def load_sampling_checkpoint(path: str):
         return z, jnp.asarray(f["key"]), int(f["done"]), [block]
 
 
+def _acov_payload(prefix, a, payload):
+    payload[prefix + "qref"] = np.asarray(a.qref)
+    payload[prefix + "ring"] = np.asarray(a.ring)
+    payload[prefix + "s1"] = np.asarray(a.s1)
+    payload[prefix + "lag"] = np.asarray(a.lag)
+    payload[prefix + "cnt_lag"] = np.asarray(a.cnt_lag)
+    payload[prefix + "cnt"] = np.asarray(a.cnt)
+
+
+def _acov_load(prefix, f):
+    from ..sketch import AutocovSketch
+    return AutocovSketch(qref=jnp.asarray(f[prefix + "qref"]),
+                         ring=jnp.asarray(f[prefix + "ring"]),
+                         s1=jnp.asarray(f[prefix + "s1"]),
+                         lag=jnp.asarray(f[prefix + "lag"]),
+                         cnt_lag=jnp.asarray(f[prefix + "cnt_lag"]),
+                         cnt=jnp.asarray(f[prefix + "cnt"]))
+
+
+def save_lean_checkpoint(path: str, z: EvalPoint, key, done: int, blocks,
+                         mom=None, sketch=None):
+    """Checkpoint a streaming-accumulator (``collect_moments`` /
+    ``collect_sketch``) sampling run: phase point, RNG key, progress, stats
+    blocks (draws may be zero-width in ``store_draws=False`` mode), and the
+    accumulator pytrees — the long-run / lean-memory analog of
+    :func:`save_sampling_checkpoint`."""
+    merged = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0) if xs[0].ndim else xs[0],
+        *blocks)
+    payload = {
+        "q": np.asarray(z.q), "logp": np.asarray(z.logp),
+        "grad": np.asarray(z.grad), "key": np.asarray(key),
+        "done": np.asarray(done), "draws": np.asarray(merged.draws),
+        "has_mom": np.asarray(mom is not None),
+        "has_sketch": np.asarray(sketch is not None),
+    }
+    for name in merged.stats._fields:
+        payload["stat_" + name] = np.asarray(getattr(merged.stats, name))
+    if mom is not None:
+        payload.update(mom_qref=np.asarray(mom.qref), mom_cnt=np.asarray(mom.cnt),
+                       mom_s1=np.asarray(mom.s1), mom_s2=np.asarray(mom.s2))
+    if sketch is not None:
+        rk = sketch.rank
+        payload.update(rk_lo=np.asarray(rk.lo), rk_width=np.asarray(rk.width),
+                       rk_counts=np.asarray(rk.counts), rk_cnt=np.asarray(rk.cnt))
+        _acov_payload("ac_", sketch.acov, payload)
+        payload["has_tail"] = np.asarray(sketch.tail is not None)
+        if sketch.tail is not None:
+            t = sketch.tail
+            payload.update(tail_q05=np.asarray(t.q05), tail_q95=np.asarray(t.q95),
+                           tail_start=np.asarray(t.start))
+            _acov_payload("tlo_", t.lo, payload)
+            _acov_payload("thi_", t.hi, payload)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **payload)
+    os.replace(tmp, path)
+
+
+def load_lean_checkpoint(path: str):
+    """Load a :func:`save_lean_checkpoint` file; returns ``(z, key, done,
+    [block], mom, sketch)`` or ``None`` if the file does not exist."""
+    from ..adapt.warmup import SamplingResult, SplitMoments
+    from ..core.state import TreeStats
+    from ..sketch import RankHistSketch, StreamSketch, TailSketch
+
+    if not os.path.exists(path):
+        return None
+    with np.load(path, allow_pickle=False) as f:
+        z = EvalPoint(q=jnp.asarray(f["q"]), logp=jnp.asarray(f["logp"]),
+                      grad=jnp.asarray(f["grad"]))
+        stats = TreeStats(**{name: jnp.asarray(f["stat_" + name])
+                             for name in TreeStats._fields})
+        block = SamplingResult(z=z, draws=jnp.asarray(f["draws"]), stats=stats)
+        mom = None
+        if bool(f["has_mom"]):
+            mom = SplitMoments(qref=jnp.asarray(f["mom_qref"]),
+                               cnt=jnp.asarray(f["mom_cnt"]),
+                               s1=jnp.asarray(f["mom_s1"]),
+                               s2=jnp.asarray(f["mom_s2"]))
+        sketch = None
+        if bool(f["has_sketch"]):
+            rank = RankHistSketch(lo=jnp.asarray(f["rk_lo"]),
+                                  width=jnp.asarray(f["rk_width"]),
+                                  counts=jnp.asarray(f["rk_counts"]),
+                                  cnt=jnp.asarray(f["rk_cnt"]))
+            tail = None
+            if bool(f["has_tail"]):
+                tail = TailSketch(q05=jnp.asarray(f["tail_q05"]),
+                                  q95=jnp.asarray(f["tail_q95"]),
+                                  lo=_acov_load("tlo_", f),
+                                  hi=_acov_load("thi_", f),
+                                  start=jnp.asarray(f["tail_start"]))
+            sketch = StreamSketch(rank=rank, acov=_acov_load("ac_", f),
+                                  tail=tail)
+        return z, jnp.asarray(f["key"]), int(f["done"]), [block], mom, sketch
+
+
 def warmup_with_checkpoints(kernel, key, state: WarmupState, stages,
                             path: str, reporter=None, tuning_chunk=None):
     """Run ``kernel``'s warmup stage-by-stage, checkpointing after each stage

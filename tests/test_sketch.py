@@ -250,3 +250,61 @@ class TestTailESS:
         assert np.all(np.asarray(te.ess) > 50)
         s = diag.posterior_summary_streamed(out.sample_sketch, 8)
         assert s.ess_tail is not None and "ess_tail" in str(s)
+
+
+class TestLeanCheckpoint:
+    def test_resume_matches_uninterrupted(self, tmp_path):
+        """Interrupt a lean (store_draws=False) run after 2 of 4 blocks; the
+        resumed run's final sketch/moments/stats must equal the uninterrupted
+        run's exactly (same RNG stream)."""
+        import inplacedhmc_tpu.sample as S
+        from inplacedhmc_tpu.config import DualAveraging, default_warmup_stages
+        from inplacedhmc_tpu.models import std_normal
+        from inplacedhmc_tpu.report import NoProgressReport
+
+        model = std_normal(3)
+        stages = default_warmup_stages(
+            stepsize_adaptation=DualAveraging(), init_steps=20,
+            middle_steps=20, doubling_stages=1, terminating_steps=15)
+        cfg = SketchConfig(bins=32, max_lag=16)
+        kw = dict(warmup_stages=stages, dtype=jnp.float64, draw_block=32,
+                  collect_sketch=cfg, collect_moments=True, store_draws=False)
+        key = jax.random.PRNGKey(7)
+
+        full = S.mcmc_with_warmup(key, model, 128, 8, **kw)
+
+        # interrupted run: a reporter that raises after the 2nd block
+        class Stop(Exception):
+            pass
+
+        class Interrupter(NoProgressReport):
+            def __init__(self):
+                self.ticks = 0
+
+            def step(self, done):
+                self.ticks += 1
+                if self.ticks == 2:
+                    raise Stop()
+
+        ckpt = str(tmp_path / "lean.npz")
+        with pytest.raises(Stop):
+            S.mcmc_with_warmup(key, model, 128, 8,
+                               sample_checkpoint_path=ckpt,
+                               reporter=Interrupter(), **kw)
+        assert jnp.load is not None  # file written before the raise
+        import os
+        assert os.path.exists(ckpt)
+
+        resumed = S.mcmc_with_warmup(key, model, 128, 8,
+                                     sample_checkpoint_path=ckpt, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(resumed.sample_sketch.rank.counts),
+            np.asarray(full.sample_sketch.rank.counts))
+        np.testing.assert_allclose(np.asarray(resumed.sample_sketch.acov.lag),
+                                   np.asarray(full.sample_sketch.acov.lag),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(resumed.sample_moments.s2),
+                                   np.asarray(full.sample_moments.s2),
+                                   rtol=1e-12)
+        assert resumed.stats.steps.shape == full.stats.steps.shape
+        assert resumed.sample_sketch.tail is not None
