@@ -54,8 +54,11 @@ def main():
                       "eps": float(jnp.exp(state.log_eps))}), flush=True)
 
     kern_tree = _kernel(model, NUTS(), True, None, use_pallas="tree")
+    kern_bf16 = _kernel(model, NUTS(), True, None, use_pallas="on",
+                        fused_opts={"grad_bf16": True})
     results = {}
     for name, kern in [("xla_fused_potential", kern_xla),
+                       ("xla_fused_potential_gradbf16", kern_bf16),
                        ("tree_kernel", kern_tree)]:
         fn = kern._sampling_fn(args.draws)
         t0 = time.perf_counter()

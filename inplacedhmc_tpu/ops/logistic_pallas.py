@@ -33,45 +33,63 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(q_ref, x_ref, yw_ref, s2_ref, logp_ref, grad_ref):
-    j = pl.program_id(1)
-    nj = pl.num_programs(1)
+def _make_fused_kernel(grad_bf16: bool):
+    def _kernel(q_ref, x_ref, yw_ref, s2_ref, logp_ref, grad_ref):
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
 
-    @pl.when(j == 0)
-    def _init():
-        logp_ref[:] = jnp.zeros_like(logp_ref)
-        grad_ref[:] = jnp.zeros_like(grad_ref)
+        @pl.when(j == 0)
+        def _init():
+            logp_ref[:] = jnp.zeros_like(logp_ref)
+            grad_ref[:] = jnp.zeros_like(grad_ref)
 
-    q = q_ref[:]                     # [BC, D]
-    x = x_ref[:]                     # [BN, D]
-    y = yw_ref[0, :]                 # [BN]
-    w = yw_ref[1, :]                 # [BN]
+        q = q_ref[:]                     # [BC, D]
+        x = x_ref[:]                     # [BN, D]
+        y = yw_ref[0, :]                 # [BN]
+        w = yw_ref[1, :]                 # [BN]
 
-    eta = jax.lax.dot_general(q, x, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # [BC, BN]
-    # log(1 + e^eta) computed stably: max(eta,0) + log1p(exp(-|eta|))
-    ll = y[None, :] * eta - (jnp.maximum(eta, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(eta))))
-    logp_ref[:] += jnp.sum(ll * w[None, :], axis=1, keepdims=True)
+        eta = jax.lax.dot_general(q, x, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)  # [BC, BN]
+        # log(1 + e^eta) computed stably: max(eta,0) + log1p(exp(-|eta|))
+        ll = y[None, :] * eta - (jnp.maximum(eta, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(eta))))
+        logp_ref[:] += jnp.sum(ll * w[None, :], axis=1, keepdims=True)
 
-    resid = (y[None, :] - jax.nn.sigmoid(eta)) * w[None, :]        # [BC, BN]
-    grad_ref[:] += jax.lax.dot_general(resid, x, (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
+        resid = (y[None, :] - jax.nn.sigmoid(eta)) * w[None, :]     # [BC, BN]
+        if grad_bf16:
+            # bf16 inputs for the backward contraction, f32 accumulate: a
+            # single native MXU pass instead of the multi-pass f32 product.
+            # EXACTNESS-PRESERVING: leapfrog is reversible and
+            # volume-preserving for any deterministic gradient field, and
+            # energies/multinomial weights stay f32, so the sampler still
+            # targets the exact posterior — a slightly perturbed gradient
+            # only (marginally) lowers acceptance. logp is NOT touched.
+            resid = resid.astype(jnp.bfloat16)
+            x = x.astype(jnp.bfloat16)
+        grad_ref[:] += jax.lax.dot_general(resid, x, (((1,), (0,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
 
-    @pl.when(j == nj - 1)
-    def _prior():
-        s2 = s2_ref[0, 0]
-        logp_ref[:] += -0.5 * s2 * jnp.sum(q * q, axis=1, keepdims=True)
-        grad_ref[:] += -s2 * q
+        @pl.when(j == nj - 1)
+        def _prior():
+            s2 = s2_ref[0, 0]
+            logp_ref[:] += -0.5 * s2 * jnp.sum(q * q, axis=1, keepdims=True)
+            grad_ref[:] += -s2 * q
+
+    return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block_c", "block_n", "interpret"))
+_kernel = _make_fused_kernel(False)  # default f32 kernel (back-compat name)
+
+
+@functools.partial(jax.jit, static_argnames=("block_c", "block_n", "interpret",
+                                             "grad_bf16"))
 def _logistic_value_and_grad_padded(q, x, yw, s2, block_c: int, block_n: int,
-                                    interpret: bool = False):
+                                    interpret: bool = False,
+                                    grad_bf16: bool = False):
     cpad, dpad = q.shape
     npad = x.shape[0]
     grid = (cpad // block_c, npad // block_n)
     logp, grad = pl.pallas_call(
-        _kernel,
+        _make_fused_kernel(grad_bf16),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_c, dpad), lambda i, j: (i, 0),
@@ -104,10 +122,16 @@ def _logistic_value_and_grad_padded(q, x, yw, s2, block_c: int, block_n: int,
 
 def make_logistic_potential(x, y, inv_var: float,
                             block_c: int = 256, block_n: int = 512,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            grad_bf16: bool = False):
     """Build a batched ``q [C, D] -> (logp [C], grad [C, D])`` potential using
     the fused kernel.  Data is padded once at build time; chains are padded
-    per call.  Set ``interpret=True`` for CPU testing."""
+    per call.  Set ``interpret=True`` for CPU testing.
+
+    ``grad_bf16``: run the backward (gradient) contraction with bf16 inputs
+    and f32 accumulation.  Preserves exactness — energies and the log density
+    stay f32, and HMC is valid for any deterministic gradient field — while
+    roughly halving the MXU cost of the backward matmul."""
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     n, d = x.shape
@@ -126,7 +150,8 @@ def make_logistic_potential(x, y, inv_var: float,
         q_p = jnp.zeros((cpad, dpad), jnp.float32).at[:c, :d].set(
             q.astype(jnp.float32))
         logp, grad = _logistic_value_and_grad_padded(q_p, x_p, yw, s2, bc,
-                                                     block_n, interpret)
+                                                     block_n, interpret,
+                                                     grad_bf16)
         logp = logp[:c]
         grad = grad[:c, :d]
         ok = jnp.isfinite(logp)

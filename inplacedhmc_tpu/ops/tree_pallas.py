@@ -335,7 +335,19 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
             if d == 0:
                 make_leaf_body(0)(0, 0)
             else:
-                lax.fori_loop(0, 1 << d, make_leaf_body(d), 0)
+                # leaf-level early exit: once every row in the tile has died
+                # inside this subtree (divergence / inner U-turn), the
+                # remaining static iterations carry no live work — skip the
+                # physics + bookkeeping body (one scalar reduce per leaf).
+                leaf = make_leaf_body(d)
+
+                def guarded_leaf(n, carry, leaf=leaf):
+                    @pl.when(jnp.sum(coli[:, ALIVE]) > 0)
+                    def _():
+                        leaf(n, 0)
+                    return carry
+
+                lax.fori_loop(0, 1 << d, guarded_leaf, 0)
 
             # epilogue (tree.jl:416-438)
             m = geti(ALIVE) > 0
@@ -573,12 +585,12 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
             refs = {name: data_refs[k] for k, name in enumerate(names)}
             mask = data_refs[-1][0:1, :]
             q_eff = q * mask
-
-            def total(qq):
-                return jnp.sum(tile_logp(qq, refs))
-
-            logp = tile_logp(q_eff, refs)
-            grad = jax.grad(total)(q_eff) * mask
+            # vjp shares the forward pass between value and gradient: for
+            # matmul-dominated physics (logistic: eta = q Xᵀ) this is 2 MXU
+            # matmuls per leaf instead of the 3 that a separate
+            # jax.grad(total) call costs (its forward recomputes eta)
+            logp, vjp_fn = jax.vjp(lambda qq: tile_logp(qq, refs), q_eff)
+            grad = vjp_fn(jnp.ones_like(logp))[0] * mask
             return logp, grad
 
         run = _build_transition_padded(physics, padded + (lane_mask,),

@@ -35,6 +35,27 @@ def make_chain_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def make_chain_dim_mesh(n_chain: int, n_dim: int,
+                        chain_axis: str = "chain", dim_axis: str = "dim",
+                        devices: Optional[Sequence] = None) -> Mesh:
+    """A 2-D ``(chain, dim)`` mesh: chain data-parallelism × within-model
+    (TP-analog) sharding of the parameter dimension.
+
+    The reference has no within-model parallelism (its D lives in SIMD lanes,
+    ``PtrVector{P,T,L}``); on TPU large-D models (stoch-vol: 1k latents ×
+    10k chains, SURVEY.md §2 "parallelism inventory") shard D over a second
+    mesh axis so position/momentum/gradient buffers split across devices and
+    the logp/turn-criterion reductions become psums over ``dim_axis`` —
+    inserted automatically by GSPMD.  Lay the ``dim`` axis innermost so its
+    collectives ride the fastest ICI links.
+    """
+    devs = list(devices) if devices is not None else jax.devices()
+    need = n_chain * n_dim
+    assert len(devs) >= need, f"need {need} devices, have {len(devs)}"
+    grid = np.asarray(devs[:need]).reshape(n_chain, n_dim)
+    return Mesh(grid, (chain_axis, dim_axis))
+
+
 def chain_spec(mesh: Mesh, ndim: int, axis_name: str = "chain") -> NamedSharding:
     """Sharding for a ``[C, ...]`` array: chains split over the mesh axis."""
     return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
@@ -47,12 +68,41 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_by_chain(tree, mesh: Mesh, n_chains: int, axis_name: str = "chain"):
     """device_put a pytree: leaves whose leading dim equals ``n_chains`` are
     sharded over the chain axis, everything else replicated."""
+    return shard_state(tree, mesh, n_chains, chain_axis=axis_name)
+
+
+def shard_state(tree, mesh: Mesh, n_chains: int, dim: Optional[int] = None,
+                chain_axis: str = "chain", dim_axis: str = "dim"):
+    """device_put a pytree with (chain, dim) sharding by shape matching.
+
+    In each leaf, the first axis of size ``n_chains`` shards over
+    ``chain_axis`` and (when ``dim`` is given and ``dim_axis`` is in the
+    mesh) the first *other* axis of size ``dim`` shards over ``dim_axis``;
+    everything else replicates.  Covers every sampler-state leaf: ``q/p/grad``
+    ``[C, D]`` → ``P(chain, dim)``, checkpoint stacks ``[C, md+1, D]`` →
+    ``P(chain, None, dim)``, diag metric ``[D]`` → ``P(dim)``, dense metric
+    ``[D, D]`` → ``P(dim, None)``, scalars replicated.
+    """
+    has_dim = dim is not None and dim_axis in mesh.axis_names
+    if has_dim:
+        assert dim % mesh.shape[dim_axis] == 0, (
+            f"dim={dim} must divide evenly over the {mesh.shape[dim_axis]}"
+            f"-device '{dim_axis}' axis")
 
     def put(x):
         x = jnp.asarray(x)
-        if x.ndim >= 1 and x.shape[0] == n_chains:
-            return jax.device_put(x, chain_spec(mesh, x.ndim, axis_name))
-        return jax.device_put(x, replicated(mesh))
+        names = []
+        used_chain = used_dim = False
+        for s in x.shape:
+            if not used_chain and s == n_chains:
+                names.append(chain_axis)
+                used_chain = True
+            elif has_dim and not used_dim and s == dim:
+                names.append(dim_axis)
+                used_dim = True
+            else:
+                names.append(None)
+        return jax.device_put(x, NamedSharding(mesh, P(*names)))
 
     return jax.tree_util.tree_map(put, tree)
 
@@ -60,7 +110,8 @@ def shard_by_chain(tree, mesh: Mesh, n_chains: int, axis_name: str = "chain"):
 def run_sharded(key, model, n_draws: int, n_chains: int, *, mesh: Mesh,
                 delta: float = 0.8, algorithm=None, warmup_stages=None,
                 dtype=jnp.float32, q=None, metric=None, eps=None,
-                reporter=None, axis_name: str = "chain", thin: int = 1,
+                reporter=None, axis_name: str = "chain",
+                dim_axis: str = "dim", thin: int = 1,
                 draw_block=None, tuning_chunk=None, use_pallas: str = "auto",
                 warmup_checkpoint_path=None, sample_checkpoint_path=None,
                 keep_dims=None, collect_moments: bool = False,
@@ -82,8 +133,13 @@ def run_sharded(key, model, n_draws: int, n_chains: int, *, mesh: Mesh,
     from ..config import NUTS, DualAveraging, default_warmup_stages
     from ..sample import _kernel
 
-    assert n_chains % mesh.size == 0, (
-        f"n_chains={n_chains} must divide evenly over {mesh.size} devices")
+    n_chain_devs = (mesh.shape[axis_name]
+                    if axis_name in mesh.axis_names else mesh.size)
+    assert n_chains % n_chain_devs == 0, (
+        f"n_chains={n_chains} must divide evenly over {n_chain_devs} "
+        f"'{axis_name}' devices")
+    # 2-D (chain, dim) mesh: also shard the parameter dimension (TP analog)
+    dim = model.dim if dim_axis in mesh.axis_names else None
     algorithm = algorithm or NUTS()
     if warmup_stages is None:
         warmup_stages = default_warmup_stages(
@@ -96,8 +152,9 @@ def run_sharded(key, model, n_draws: int, n_chains: int, *, mesh: Mesh,
                         dtype=dtype, reporter=reporter, thin=thin,
                         draw_block=draw_block, tuning_chunk=tuning_chunk,
                         q=q, metric=metric, eps=eps,
-                        state_transform=lambda st: shard_by_chain(
-                            st, mesh, n_chains, axis_name),
+                        state_transform=lambda st: shard_state(
+                            st, mesh, n_chains, dim,
+                            chain_axis=axis_name, dim_axis=dim_axis),
                         warmup_checkpoint_path=warmup_checkpoint_path,
                         sample_checkpoint_path=sample_checkpoint_path,
                         keep_dims=keep_dims, collect_moments=collect_moments,

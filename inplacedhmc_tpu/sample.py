@@ -121,7 +121,7 @@ class NUTSKernel:
     def __init__(self, model: Model, algorithm: NUTS = NUTS(),
                  pooled: bool = True, axis_name: Optional[str] = None,
                  use_pallas: str = "auto", shard_mesh=None,
-                 shard_axis: str = "chain"):
+                 shard_axis: str = "chain", fused_opts: Optional[dict] = None):
         """``shard_mesh``: a ``jax.sharding.Mesh`` with axis ``shard_axis``;
         when set, fused Pallas transitions are wrapped in ``shard_map`` so
         each device runs the kernel on its local chain shard (Pallas calls do
@@ -208,7 +208,8 @@ class NUTSKernel:
             if st.get("kind") == "logistic":
                 from .ops.logistic_pallas import make_logistic_potential
                 self.potential = make_logistic_potential(
-                    st["x"], st["y"], st["inv_var"], interpret=interp)
+                    st["x"], st["y"], st["inv_var"], interpret=interp,
+                    **(fused_opts or {}))
             elif st.get("kind") == "diag_gaussian":
                 from .core.metric import DiagMetric
                 from .ops.leapfrog_pallas import make_fused_gaussian_leapfrog
@@ -594,14 +595,16 @@ _KERNEL_CACHE: dict = {}
 def _kernel(model: Model, algorithm: NUTS, pooled: bool,
             axis_name: Optional[str],
             use_pallas: str = "auto", shard_mesh=None,
-            shard_axis: str = "chain") -> NUTSKernel:
+            shard_axis: str = "chain",
+            fused_opts: Optional[dict] = None) -> NUTSKernel:
     key = (model, algorithm, pooled, axis_name, use_pallas, shard_mesh,
-           shard_axis)
+           shard_axis, tuple(sorted((fused_opts or {}).items())))
     if key not in _KERNEL_CACHE:
         _KERNEL_CACHE[key] = NUTSKernel(model, algorithm, pooled, axis_name,
                                         use_pallas=use_pallas,
                                         shard_mesh=shard_mesh,
-                                        shard_axis=shard_axis)
+                                        shard_axis=shard_axis,
+                                        fused_opts=fused_opts)
     return _KERNEL_CACHE[key]
 
 

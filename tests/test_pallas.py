@@ -146,3 +146,24 @@ def test_multi_step_leapfrog_matches_chained_single_steps():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(pk), np.asarray(ps), rtol=2e-5,
                                atol=1e-5)
+
+
+def test_logistic_kernel_grad_bf16_mode():
+    """grad_bf16: logp must stay bit-identical to the f32 kernel (exactness
+    of energies/multinomial weights); the gradient is a bf16-contraction
+    approximation of the f32 one (~1e-2 relative)."""
+    key = jax.random.PRNGKey(3)
+    x, y, _ = synthetic_data(key, n_obs=700, n_features=23, dtype=jnp.float32)
+    model = logistic_regression(x, y)
+    pot_f32 = make_logistic_potential(x, y, model.structure["inv_var"],
+                                      block_c=64, block_n=256, interpret=True)
+    pot_bf16 = make_logistic_potential(x, y, model.structure["inv_var"],
+                                       block_c=64, block_n=256, interpret=True,
+                                       grad_bf16=True)
+    q = jax.random.normal(jax.random.PRNGKey(4), (40, 23), jnp.float32) * 0.3
+    lp32, g32 = pot_f32(q)
+    lp16, g16 = pot_bf16(q)
+    np.testing.assert_array_equal(np.asarray(lp16), np.asarray(lp32))
+    scale = np.abs(np.asarray(g32)).max()
+    np.testing.assert_allclose(np.asarray(g16), np.asarray(g32),
+                               atol=2e-2 * scale)

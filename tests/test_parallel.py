@@ -161,3 +161,57 @@ def test_sharded_checkpointing(tmp_path):
                   mesh=mesh, warmup_stages=stages, draw_block=20,
                   warmup_checkpoint_path=wck, sample_checkpoint_path=sck)
     np.testing.assert_allclose(np.asarray(res2.draws), np.asarray(res.draws))
+
+
+def test_chain_dim_mesh_end_to_end():
+    """2-D (chain, dim) mesh — SURVEY §2 'within-model sharding (TP analog)':
+    position/momentum/gradient buffers split over the dim axis, logp and
+    turn-criterion reductions become psums over 'dim' (inserted by GSPMD).
+    Posterior must match and state leaves must carry the 2-D sharding."""
+    from inplacedhmc_tpu.parallel.mesh import make_chain_dim_mesh
+    mesh = make_chain_dim_mesh(4, 2)
+    assert mesh.shape["chain"] == 4 and mesh.shape["dim"] == 2
+    model = std_normal(6)
+    stages = default_warmup_stages(init_steps=20, middle_steps=20,
+                                   doubling_stages=1, terminating_steps=20)
+    res = sample(jax.random.PRNGKey(5), model, n_draws=200, n_chains=16,
+                 mesh=mesh, warmup_stages=stages, dtype=jnp.float64)
+    flat = np.asarray(res.draws).reshape(-1, 6)
+    np.testing.assert_allclose(flat.mean(0), 0.0, atol=0.15)
+    np.testing.assert_allclose(flat.var(0), 1.0, atol=0.3)
+    # all 8 devices participate
+    assert len({s.device for s in res.draws.addressable_shards}) == 8
+
+
+def test_chain_dim_mesh_matches_single_device():
+    """dim-sharding is a partitioning, not an algorithm change: same key ==
+    same draws as the unsharded run."""
+    from inplacedhmc_tpu.parallel.mesh import make_chain_dim_mesh
+    model = std_normal(4)
+    stages = default_warmup_stages(init_steps=15, middle_steps=15,
+                                   doubling_stages=1, terminating_steps=15)
+    key = jax.random.PRNGKey(7)
+    res_single = sample(key, model, n_draws=80, n_chains=8,
+                        warmup_stages=stages, dtype=jnp.float64)
+    mesh = make_chain_dim_mesh(4, 2)
+    res_2d = sample(key, model, n_draws=80, n_chains=8, mesh=mesh,
+                    warmup_stages=stages, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(res_single.draws),
+                               np.asarray(res_2d.draws), atol=1e-8)
+
+
+def test_shard_state_placement_2d():
+    from inplacedhmc_tpu.parallel.mesh import make_chain_dim_mesh, shard_state
+    from jax.sharding import PartitionSpec as P
+    mesh = make_chain_dim_mesh(4, 2)
+    tree = {"q": jnp.zeros((16, 6)),            # [C, D] -> P(chain, dim)
+            "stack": jnp.zeros((16, 3, 6)),     # [C, md1, D] -> P(chain, None, dim)
+            "metric": jnp.ones((6,)),           # [D] -> P(dim)
+            "dense": jnp.eye(6),                # [D, D] -> P(dim, None)
+            "eps": jnp.asarray(0.5)}            # scalar -> replicated
+    out = shard_state(tree, mesh, 16, 6)
+    assert out["q"].sharding.spec == P("chain", "dim")
+    assert out["stack"].sharding.spec == P("chain", None, "dim")
+    assert out["metric"].sharding.spec == P("dim")
+    assert out["dense"].sharding.spec == P("dim", None)
+    assert out["eps"].sharding.is_fully_replicated
