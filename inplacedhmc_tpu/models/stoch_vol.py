@@ -39,6 +39,58 @@ def synthetic_returns(key, n_steps: int = 1000, phi: float = 0.98,
     return r
 
 
+def _make_tile_logp(t: int):
+    """Whole-tile log density for the Pallas whole-tree kernel
+    (ops/tree_pallas.py): layout ``[raw_phi, log_s, h_1..h_T]`` with the
+    squared returns aligned to the h lanes.  The AR(1) innovation term uses a
+    one-lane ``jnp.roll`` (h_{t-1} under h_t) — in-kernel autodiff
+    differentiates through it.  Numerically identical to ``stoch_vol.logp``
+    (A/B-tested in tests/test_stoch_vol.py)."""
+    tf = float(t)
+
+    def tile_logp(q, refs):
+        r2 = refs["r2"][0:1, :]          # r_t^2 at lane t+1 (h_t's lane)
+        hm = refs["h_mask"][0:1, :]      # 1 on h lanes (2 .. T+1)
+        am = refs["ar_mask"][0:1, :]     # 1 on lanes with a predecessor (3 .. T+1)
+        raw_phi = q[:, 0:1]
+        log_s = q[:, 1:2]
+        phi = jnp.tanh(raw_phi)
+        inv_s = jnp.exp(-log_s)
+        lp = -0.5 * (raw_phi - 1.5) ** 2 - 0.5 * (log_s + 2.0) ** 2
+        one_m_phi2 = 1.0 - phi * phi
+        lp += 0.5 * jnp.log(one_m_phi2) - tf * log_s
+        h0 = q[:, 2:3]
+        lp += -0.5 * one_m_phi2 * (h0 * inv_s) ** 2
+        h = q * hm
+        hprev = jnp.roll(h, 1, axis=1)   # lane l now holds h at lane l-1
+        innov = (q - phi * hprev) * am * inv_s
+        lp += -0.5 * jnp.sum(innov * innov, axis=1, keepdims=True)
+        lp += jnp.sum(hm * (-0.5) * (q + r2 * jnp.exp(-h)),
+                      axis=1, keepdims=True)
+        return lp
+
+    return tile_logp
+
+
+_TILE_CACHE: dict = {}
+
+
+def _tile_structure(returns):
+    import numpy as _np
+    t = int(returns.shape[0])
+    dim = 2 + t
+    r2 = _np.zeros((1, dim), _np.float32)
+    hm = _np.zeros((1, dim), _np.float32)
+    am = _np.zeros((1, dim), _np.float32)
+    r2[0, 2:] = _np.asarray(returns, _np.float64) ** 2
+    hm[0, 2:] = 1.0
+    am[0, 3:] = 1.0
+    if t not in _TILE_CACHE:  # shared fn so kernel builds cache across models
+        _TILE_CACHE[t] = _make_tile_logp(t)
+    return {"kind": "tile_logp", "tile_logp": _TILE_CACHE[t],
+            "data": {"r2": r2, "h_mask": hm, "ar_mask": am}}
+
+
 def stoch_vol(returns) -> Model:
     returns = jnp.asarray(returns)
     t = returns.shape[0]
@@ -65,4 +117,5 @@ def stoch_vol(returns) -> Model:
         raw_phi, log_s, h = q[..., 0], q[..., 1], q[..., 2:]
         return {"phi": jnp.tanh(raw_phi), "s": jnp.exp(log_s), "h": h}
 
-    return Model(name=f"stoch_vol_{t}", dim=dim, logp=logp, constrain=constrain)
+    return Model(name=f"stoch_vol_{t}", dim=dim, logp=logp, constrain=constrain,
+                 structure=_tile_structure(returns))

@@ -222,6 +222,17 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 delta = (logp_new - kin_new) - getf(PI0)
                 delta = jnp.where(jnp.isnan(delta), neg_inf, delta)
                 divergent = delta < min_delta
+                # NaN containment: a non-finite model gradient (e.g. exp
+                # overflow) makes q_new/p_new NaN — the leaf is divergent via
+                # delta above, but the arithmetic selects below (f*a+(1-f)*b)
+                # would propagate NaN even when deselected (0*NaN = NaN), so
+                # replace non-finite elements with the previous point before
+                # anything is stored (mirrors the XLA tree, where the -inf
+                # sentinel keeps NaN out of carried state)
+                q_new = jnp.where(jnp.isfinite(q_new), q_new, q)
+                p_new = jnp.where(jnp.isfinite(p_new), p_new, p)
+                g_new = jnp.where(jnp.isfinite(g_new), g_new, g)
+                ps_new = jnp.where(jnp.isfinite(ps_new), ps_new, 0.0)
                 i_new = geti(I_BASE) + (n + 1) * signi
 
                 # visited stats (NUTS.jl:58-86)

@@ -627,16 +627,18 @@ def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
                      collect_moments: bool = False,
                      collect_sketch=None,
                      store_draws: bool = True,
-                     sync_blocks: bool = False) -> MCMCResult:
+                     sync_blocks: bool = False,
+                     use_pallas: str = "auto") -> MCMCResult:
     """NUTS with the default windowed warmup (``mcmc_with_warmup``,
     ``mcmc.jl:109-128``).  ``delta`` is the dual-averaging target acceptance
-    rate (the reference's ``δ`` kwarg, ``mcmc.jl:110-111``)."""
+    rate (the reference's ``δ`` kwarg, ``mcmc.jl:110-111``).  ``use_pallas``
+    selects the fused-kernel policy (see :class:`NUTSKernel`)."""
     if pooled is None:
         pooled = n_chains > 1
     if warmup_stages is None:
         warmup_stages = default_warmup_stages(
             stepsize_adaptation=DualAveraging(delta=delta))
-    kern = _kernel(model, algorithm, pooled, None)
+    kern = _kernel(model, algorithm, pooled, None, use_pallas=use_pallas)
     return kern.run(key, n_draws, n_chains, warmup_stages=warmup_stages,
                     q=q, metric=metric, eps=eps, dtype=dtype, reporter=reporter,
                     thin=thin, draw_block=draw_block,

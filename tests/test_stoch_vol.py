@@ -40,3 +40,66 @@ def test_stoch_vol_sharded_end_to_end():
     assert phi.mean() > 0.3, phi.mean()
     # divergence rate may be nonzero on this posterior but must not dominate
     assert diag.divergence_fraction(res.stats) < 0.5
+
+
+def test_stoch_vol_tile_physics_matches_logp():
+    """The whole-tree-kernel tile physics (structure['tile_logp']) must equal
+    the reference logp (value and gradient) on the padded layout."""
+    import numpy as np
+    from inplacedhmc_tpu.core.hamiltonian import batched_logdensity_and_grad
+    from inplacedhmc_tpu.ops.tree_pallas import make_tree_transition, _round_up
+    from inplacedhmc_tpu.core.state import EvalPoint
+
+    t = 37
+    r = synthetic_returns(jax.random.PRNGKey(0), t, dtype=jnp.float32)
+    model = stoch_vol(r)
+    st = model.structure
+    assert st is not None and st["kind"] == "tile_logp"
+
+    # direct comparison: tile_logp on a hand-padded tile vs vmapped logp
+    c, dim = 16, model.dim
+    dpad = _round_up(dim, 128)
+    q = jax.random.normal(jax.random.PRNGKey(1), (c, dim), jnp.float32) * 0.3
+    q_p = jnp.zeros((c, dpad), jnp.float32).at[:, :dim].set(q)
+    refs = {}
+    for name, arr in st["data"].items():
+        a = jnp.asarray(arr, jnp.float32)
+        refs[name] = jnp.zeros((a.shape[0], dpad), jnp.float32) \
+            .at[:, :a.shape[1]].set(a)
+    got = np.asarray(st["tile_logp"](q_p, refs))[:, 0]
+    want = np.asarray(jax.vmap(model.logp)(q))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+
+    # gradient through the tile physics (what the in-kernel vjp computes)
+    gfn = jax.grad(lambda qq: jnp.sum(st["tile_logp"](qq, refs)))
+    g_tile = np.asarray(gfn(q_p))[:, :dim]
+    pot = batched_logdensity_and_grad(model.logp)
+    _, g_ref = pot(q)
+    np.testing.assert_allclose(g_tile, np.asarray(g_ref), rtol=2e-4, atol=2e-3)
+
+
+def test_stoch_vol_tree_kernel_transition_interpret():
+    """Whole-tree kernel (interpreter) runs a stoch-vol transition and matches
+    the XLA tree's termination behavior statistically."""
+    import numpy as np
+    from inplacedhmc_tpu.ops.tree_pallas import make_tree_transition
+    from inplacedhmc_tpu.core.hamiltonian import batched_logdensity_and_grad
+    import inplacedhmc_tpu as ih
+
+    t = 21
+    r = synthetic_returns(jax.random.PRNGKey(2), t, dtype=jnp.float32)
+    model = stoch_vol(r)
+    st = model.structure
+    pot = batched_logdensity_and_grad(model.logp)
+    trans = make_tree_transition(st["tile_logp"], st["data"], model.dim,
+                                 jnp.ones(model.dim), max_depth=6,
+                                 interpret=True)
+    q0 = jax.random.normal(jax.random.PRNGKey(3), (16, model.dim),
+                           jnp.float32) * 0.2
+    z = ih.evaluate(pot, q0)
+    z2, stats = trans(jax.random.PRNGKey(4), z, jnp.asarray(0.05, jnp.float32))
+    assert bool(jnp.all(jnp.isfinite(z2.q)))
+    assert bool(jnp.all(stats.steps >= 1))
+    # logp of the proposal must match the model's logp at the proposal
+    want = np.asarray(jax.vmap(model.logp)(z2.q))
+    np.testing.assert_allclose(np.asarray(z2.logp), want, rtol=2e-4, atol=2e-3)

@@ -262,3 +262,36 @@ def test_bf16_checkpoint_stacks_agree():
     np.testing.assert_allclose(np.asarray(st16.acceptance_rate)[same],
                                np.asarray(st32.acceptance_rate)[same],
                                atol=2e-2)
+
+
+def test_tree_kernel_nan_gradient_containment():
+    """A model whose gradient overflows outside a region (exp overflow) must
+    never leak NaN into kernel outputs: the offending leaf is divergent, the
+    proposal stays at a finite point (mirrors the XLA tree's -inf sentinel
+    semantics; regression for the 0*NaN=NaN select bug)."""
+    import numpy as np
+    import inplacedhmc_tpu as ih
+    from inplacedhmc_tpu.core.hamiltonian import batched_logdensity_and_grad
+    from inplacedhmc_tpu.ops.tree_pallas import make_tree_transition
+
+    def tile_logp(q, refs):
+        # exp(60*q) overflows f32 once q moves past ~2: non-finite grad/logp
+        return jnp.sum(-q * q - jnp.exp(60.0 * (q - 2.0)),
+                       axis=1, keepdims=True)
+
+    def logp(q):
+        return jnp.sum(-q * q - jnp.exp(60.0 * (q - 2.0)))
+
+    dim = 5
+    trans = make_tree_transition(tile_logp, {}, dim, jnp.ones(dim),
+                                 max_depth=6, interpret=True)
+    pot = batched_logdensity_and_grad(logp)
+    # start near the cliff with a big step so leaves land past it
+    q0 = jnp.full((16, dim), 1.9, jnp.float32)
+    z = ih.evaluate(pot, q0)
+    z2, stats = trans(jax.random.PRNGKey(0), z, jnp.asarray(0.8, jnp.float32))
+    assert bool(jnp.all(jnp.isfinite(z2.q))), np.asarray(z2.q)
+    assert bool(jnp.all(jnp.isfinite(z2.grad)))
+    # at least one chain must have recorded a divergence
+    from inplacedhmc_tpu.core.state import Termination
+    assert int(jnp.sum(stats.termination == Termination.DIVERGENCE)) > 0
