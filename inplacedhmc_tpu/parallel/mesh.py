@@ -35,6 +35,38 @@ def make_chain_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def make_data_chain_mesh(n_data: int, n_chain: int,
+                         data_axis: str = "data", chain_axis: str = "chain",
+                         devices: Optional[Sequence] = None) -> Mesh:
+    """A 2-D ``(data, chain)`` mesh: observation-axis model-data sharding ×
+    chain data-parallelism (SURVEY.md §2 C13's ``('data','chain')`` axes).
+
+    Shard the model's data arrays over ``data_axis`` with
+    :func:`shard_model_data` *before* building the model; captured arrays
+    keep their committed sharding under jit, so the per-observation terms of
+    ``logp``/``grad`` compute on the local data shard and GSPMD inserts the
+    psum over ``data_axis`` for the total.  Chains shard over ``chain_axis``
+    as usual.
+    """
+    devs = list(devices) if devices is not None else jax.devices()
+    need = n_data * n_chain
+    assert len(devs) >= need, f"need {need} devices, have {len(devs)}"
+    grid = np.asarray(devs[:need]).reshape(n_data, n_chain)
+    return Mesh(grid, (data_axis, chain_axis))
+
+
+def shard_model_data(mesh: Mesh, *arrays, axis_name: str = "data"):
+    """device_put data arrays with their leading (observation) axis sharded
+    over ``axis_name`` — build the model from the returned arrays so its
+    closure captures the sharded placement."""
+    out = tuple(
+        jax.device_put(jnp.asarray(a),
+                       NamedSharding(mesh, P(axis_name,
+                                             *([None] * (jnp.ndim(a) - 1)))))
+        for a in arrays)
+    return out if len(out) != 1 else out[0]
+
+
 def make_chain_dim_mesh(n_chain: int, n_dim: int,
                         chain_axis: str = "chain", dim_axis: str = "dim",
                         devices: Optional[Sequence] = None) -> Mesh:

@@ -215,3 +215,28 @@ def test_shard_state_placement_2d():
     assert out["metric"].sharding.spec == P("dim")
     assert out["dense"].sharding.spec == P("dim", None)
     assert out["eps"].sharding.is_fully_replicated
+
+
+def test_data_chain_mesh_logistic():
+    """('data','chain') mesh — SURVEY §2 C13: model data sharded over the
+    observation axis (logp/grad contractions psum over 'data' via GSPMD),
+    chains over 'chain'.  Must reproduce the unsharded run exactly."""
+    from inplacedhmc_tpu.models import logistic_regression, synthetic_data
+    from inplacedhmc_tpu.parallel.mesh import (make_data_chain_mesh,
+                                               shard_model_data)
+    x, y, _ = synthetic_data(jax.random.PRNGKey(0), 512, 5, jnp.float64)
+    stages = default_warmup_stages(init_steps=15, middle_steps=15,
+                                   doubling_stages=1, terminating_steps=15)
+    key = jax.random.PRNGKey(11)
+    res_single = sample(key, logistic_regression(x, y), n_draws=60,
+                        n_chains=8, warmup_stages=stages, dtype=jnp.float64)
+
+    mesh = make_data_chain_mesh(2, 4)
+    xs, ys = shard_model_data(mesh, x, y)
+    assert not xs.sharding.is_fully_replicated
+    res_mesh = sample(key, logistic_regression(xs, ys), n_draws=60,
+                      n_chains=8, mesh=mesh, warmup_stages=stages,
+                      dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(res_mesh.draws),
+                               np.asarray(res_single.draws), atol=1e-8)
+    assert len({s.device for s in res_mesh.draws.addressable_shards}) >= 4
