@@ -51,6 +51,9 @@ def main():
                     help="memory-bounded mode: record only (phi, log_s, "
                          "h_1..h_8) and take R-hat over ALL dims from "
                          "streaming split-moments")
+    ap.add_argument("--asis", action="store_true",
+                    help="interleave ASIS hyperparameter MH updates "
+                         "(models.stoch_vol.make_asis_hook)")
     ap.add_argument("--draw-block", type=int, default=None)
     ap.add_argument("--tuning-chunk", type=int, default=None)
     ap.add_argument("--verbose", action="store_true")
@@ -75,8 +78,13 @@ def main():
     if args.verbose:
         from inplacedhmc_tpu.report import LogProgressReport
         reporter = LogProgressReport(time_interval_s=0.0)
+    post = None
+    if args.asis:
+        from inplacedhmc_tpu.models.stoch_vol import make_asis_hook
+        post = make_asis_hook(returns)
     res = mcmc_with_warmup(jax.random.PRNGKey(args.seed), model, args.draws,
                            args.chains, warmup_stages=stages, dtype=dtype,
+                           post_step=post,
                            thin=args.thin, draw_block=args.draw_block,
                            tuning_chunk=args.tuning_chunk, reporter=reporter,
                            sync_blocks=True,
@@ -107,7 +115,8 @@ def main():
         "t": args.t, "chains": args.chains, "draws": args.draws,
         "thin": args.thin, "metric": args.metric, "rank": args.rank,
         "delta": args.delta, "doublings": args.doublings,
-        "stream": bool(args.stream), "wall_s": round(wall, 1),
+        "stream": bool(args.stream), "asis": bool(args.asis),
+        "wall_s": round(wall, 1),
         "rhat_max": round(float(rhat.max()), 4),
         "rhat_phi": round(float(rhat[0]), 4),
         "rhat_logs": round(float(rhat[1]), 4),

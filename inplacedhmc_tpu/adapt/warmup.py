@@ -211,10 +211,13 @@ def run_tuning(key, potential: Callable, stage: TuningNUTS, algorithm: NUTS,
                state: WarmupState, pooled: bool = False,
                axis_name: Optional[str] = None,
                step_factory: Optional[Callable] = None,
-               transition_factory: Optional[Callable] = None) -> TuningResult:
+               transition_factory: Optional[Callable] = None,
+               post_step: Optional[Callable] = None) -> TuningResult:
     """One tuning window (``warmup.jl:269-314``): N NUTS transitions with
     per-step dual averaging, then an optional metric re-estimate from the
-    window's draws."""
+    window's draws.  ``post_step(key, z) -> z`` composes an extra
+    posterior-invariant kernel after every transition (e.g. an ASIS
+    reparameterized hyperparameter update, ``models.stoch_vol.make_asis_hook``)."""
     dtype = state.z.q.dtype
     n = stage.n
     adapting = isinstance(stage.stepsize_adaptation, DualAveraging)
@@ -240,6 +243,8 @@ def run_tuning(key, potential: Callable, stage: TuningNUTS, algorithm: NUTS,
                                         max_depth=algorithm.max_depth,
                                         min_delta=algorithm.min_delta,
                                         step_fn=fused_step)
+        if post_step is not None:
+            z2 = post_step(jax.random.fold_in(k, 1), z2)
         if adapting:
             a = stats.acceptance_rate
             if pooled:
@@ -289,7 +294,8 @@ def run_tuning_chunk(key, potential: Callable, stage: TuningNUTS,
                      pooled: bool = False, axis_name: Optional[str] = None,
                      step_factory: Optional[Callable] = None,
                      transition_factory: Optional[Callable] = None,
-                     mom: Optional[StreamMoments] = None
+                     mom: Optional[StreamMoments] = None,
+                     post_step: Optional[Callable] = None
                      ) -> TuningChunkResult:
     """``n`` transitions of a tuning window with the dual-averaging carry
     passed in/out — the unit of in-window progress reporting (the reference
@@ -316,6 +322,8 @@ def run_tuning_chunk(key, potential: Callable, stage: TuningNUTS,
                                         max_depth=algorithm.max_depth,
                                         min_delta=algorithm.min_delta,
                                         step_fn=fused_step)
+        if post_step is not None:
+            z2 = post_step(jax.random.fold_in(k, 1), z2)
         if adapting:
             a = stats.acceptance_rate
             if pooled:
@@ -397,6 +405,7 @@ def run_sampling(key, potential: Callable, algorithm: NUTS, state: WarmupState,
                  n_draws: int,
                  step_factory: Optional[Callable] = None,
                  transition_factory: Optional[Callable] = None,
+                 post_step: Optional[Callable] = None,
                  thin: int = 1,
                  keep_dims: Optional[Tuple[int, ...]] = None,
                  moments0: Optional[SplitMoments] = None,
@@ -425,11 +434,15 @@ def run_sampling(key, potential: Callable, algorithm: NUTS, state: WarmupState,
 
     def one(z, k):
         if fused_trans is not None:
-            return fused_trans(k, z, eps)
-        return nuts_transition(k, potential, state.metric, z, eps,
-                               max_depth=algorithm.max_depth,
-                               min_delta=algorithm.min_delta,
-                               step_fn=fused_step)
+            z2, stats = fused_trans(k, z, eps)
+        else:
+            z2, stats = nuts_transition(k, potential, state.metric, z, eps,
+                                        max_depth=algorithm.max_depth,
+                                        min_delta=algorithm.min_delta,
+                                        step_fn=fused_step)
+        if post_step is not None:
+            z2 = post_step(jax.random.fold_in(k, 1), z2)
+        return z2, stats
 
     def step(carry, xs):
         z, mom = carry

@@ -119,3 +119,102 @@ def stoch_vol(returns) -> Model:
 
     return Model(name=f"stoch_vol_{t}", dim=dim, logp=logp, constrain=constrain,
                  structure=_tile_structure(returns))
+
+
+def _whiten(raw_phi, log_s, h):
+    """Centered latents -> AR(1) innovations: ``eps_1 = h_1 sqrt(1-phi^2)/s``,
+    ``eps_t = (h_t - phi h_{t-1})/s``.  Batched: leading axes broadcast."""
+    phi = jnp.tanh(raw_phi)[..., None]
+    inv_s = jnp.exp(-log_s)[..., None]
+    e1 = h[..., :1] * jnp.sqrt(1.0 - phi * phi) * inv_s
+    rest = (h[..., 1:] - phi * h[..., :-1]) * inv_s
+    return jnp.concatenate([e1, rest], axis=-1)
+
+
+def _reconstruct(raw_phi, log_s, eps):
+    """Innovations -> centered latents via the linear recurrence
+    ``h_t = phi h_{t-1} + s eps_t`` as an O(log T) ``associative_scan``
+    (affine-map composition) — TPU-friendly, differentiable."""
+    phi = jnp.tanh(raw_phi)[..., None]
+    s = jnp.exp(log_s)[..., None]
+    b = s * eps
+    b = b.at[..., 0].set(b[..., 0] / jnp.sqrt(1.0 - phi[..., 0] * phi[..., 0]))
+    a = jnp.broadcast_to(phi, eps.shape)
+    a = a.at[..., 0].set(0.0)
+
+    def combine(l, r):
+        return (r[0] * l[0], r[0] * l[1] + r[1])
+
+    _, h = jax.lax.associative_scan(combine, (a, b), axis=-1)
+    return h
+
+
+def make_asis_hook(returns, *, scale=(0.06, 0.1), n_steps: int = 3,
+                   potential=None):
+    """ASIS interleaving for the SV hyperparameters (Yu & Meng 2011): after
+    each centered NUTS transition, re-express the latents as AR(1)
+    innovations ``eps`` (the *ancillary* parameterization), run ``n_steps``
+    random-walk Metropolis updates of ``theta = (arctanh phi, log s)`` with
+    ``eps`` held fixed, and map back.  In ancillary coordinates the AR prior
+    collapses to a theta-independent ``-0.5||eps||^2`` (the Jacobian
+    ``s^T / sqrt(1-phi^2)`` cancels the AR normalization exactly), so the MH
+    target is ``prior(theta) + sum_t obs(h_t(theta, eps))`` — each evaluation
+    is one O(C T log T) reconstruction.  Both kernels leave the posterior
+    invariant; the composition decorrelates the hyperparameters that the
+    centered sampler moves slowly (docs/ROADMAP.md round-2 item 4).
+
+    Use via ``mcmc_with_warmup(..., post_step=make_asis_hook(returns))``.
+    ``scale``: RW step sds for (arctanh phi, log s).  ``potential``: the
+    batched value+grad used to refresh the returned state (defaults to the
+    model's autodiff potential).
+    """
+    from ..core.hamiltonian import batched_logdensity_and_grad
+    from ..core.state import EvalPoint
+
+    returns = jnp.asarray(returns)
+    model = stoch_vol(returns)
+    pot = potential if potential is not None else \
+        batched_logdensity_and_grad(model.logp)
+    import numpy as _np
+    r2_const = _np.asarray(returns, _np.float64) ** 2
+
+    def anc_logp(theta, eps):
+        """[C, 2], [C, T] -> [C]: prior(theta) + observation terms of the
+        reconstructed latents (the -0.5||eps||^2 term is theta-independent
+        and drops from MH ratios)."""
+        raw_phi, log_s = theta[..., 0], theta[..., 1]
+        h = _reconstruct(raw_phi, log_s, eps)
+        r2 = jnp.asarray(r2_const, h.dtype)
+        lp = -0.5 * (raw_phi - 1.5) ** 2 - 0.5 * (log_s + 2.0) ** 2
+        return lp + jnp.sum(-0.5 * (h + r2 * jnp.exp(-h)), axis=-1)
+
+    sc = jnp.asarray(scale)
+
+    def hook(key, z):
+        q = z.q
+        dtype = q.dtype
+        theta = q[..., :2]
+        h = q[..., 2:]
+        eps = _whiten(theta[..., 0], theta[..., 1], h)
+        lp = anc_logp(theta, eps)
+
+        def mh(carry, k):
+            theta, lp = carry
+            kp, ku = jax.random.split(k)
+            prop = theta + sc.astype(dtype) * \
+                jax.random.normal(kp, theta.shape, dtype)
+            lp_p = anc_logp(prop, eps)
+            accept = jnp.log(jax.random.uniform(ku, lp.shape, dtype)) \
+                < (lp_p - lp)
+            theta = jnp.where(accept[..., None], prop, theta)
+            lp = jnp.where(accept, lp_p, lp)
+            return (theta, lp), None
+
+        (theta, _), _ = jax.lax.scan(mh, (theta, lp),
+                                     jax.random.split(key, n_steps))
+        h_new = _reconstruct(theta[..., 0], theta[..., 1], eps)
+        q_new = jnp.concatenate([theta, h_new], axis=-1)
+        logp_new, grad_new = pot(q_new)
+        return EvalPoint(q=q_new, logp=logp_new, grad=grad_new)
+
+    return hook

@@ -21,7 +21,7 @@ the Python loop between blocks is the reference's ``_warmup!`` unroller
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -121,7 +121,8 @@ class NUTSKernel:
     def __init__(self, model: Model, algorithm: NUTS = NUTS(),
                  pooled: bool = True, axis_name: Optional[str] = None,
                  use_pallas: str = "auto", shard_mesh=None,
-                 shard_axis: str = "chain", fused_opts: Optional[dict] = None):
+                 shard_axis: str = "chain", fused_opts: Optional[dict] = None,
+                 post_step: Optional[Callable] = None):
         """``shard_mesh``: a ``jax.sharding.Mesh`` with axis ``shard_axis``;
         when set, fused Pallas transitions are wrapped in ``shard_map`` so
         each device runs the kernel on its local chain shard (Pallas calls do
@@ -133,6 +134,7 @@ class NUTSKernel:
         self.axis_name = axis_name
         self.shard_mesh = shard_mesh
         self.shard_axis = shard_axis
+        self.post_step = post_step
         self._jit_cache: dict = {}
 
         if use_pallas == "auto":
@@ -235,7 +237,8 @@ class NUTSKernel:
                                   stage=stage, algorithm=self.algorithm,
                                   pooled=self.pooled, axis_name=self.axis_name,
                                   step_factory=self.step_factory,
-                                  transition_factory=self.transition_factory)
+                                  transition_factory=self.transition_factory,
+                                  post_step=self.post_step)
             self._jit_cache[key] = jax.jit(
                 lambda k, state: f(k, state=state), donate_argnums=(1,))
         return self._jit_cache[key]
@@ -247,7 +250,8 @@ class NUTSKernel:
                                   stage=stage, algorithm=self.algorithm, n=n,
                                   pooled=self.pooled, axis_name=self.axis_name,
                                   step_factory=self.step_factory,
-                                  transition_factory=self.transition_factory)
+                                  transition_factory=self.transition_factory,
+                                  post_step=self.post_step)
             self._jit_cache[key] = jax.jit(
                 lambda k, state, da, mom: f(k, state=state, da=da, mom=mom))
         return self._jit_cache[key]
@@ -283,7 +287,8 @@ class NUTSKernel:
                                   moment_offset=moment_offset,
                                   moment_total=moment_total,
                                   step_factory=self.step_factory,
-                                  transition_factory=self.transition_factory)
+                                  transition_factory=self.transition_factory,
+                                  post_step=self.post_step)
             if moments:
                 g = jax.jit(lambda k, state, mom: f(k, state=state,
                                                     moments0=mom))
@@ -596,15 +601,17 @@ def _kernel(model: Model, algorithm: NUTS, pooled: bool,
             axis_name: Optional[str],
             use_pallas: str = "auto", shard_mesh=None,
             shard_axis: str = "chain",
-            fused_opts: Optional[dict] = None) -> NUTSKernel:
+            fused_opts: Optional[dict] = None,
+            post_step: Optional[Callable] = None) -> NUTSKernel:
     key = (model, algorithm, pooled, axis_name, use_pallas, shard_mesh,
-           shard_axis, tuple(sorted((fused_opts or {}).items())))
+           shard_axis, tuple(sorted((fused_opts or {}).items())), post_step)
     if key not in _KERNEL_CACHE:
         _KERNEL_CACHE[key] = NUTSKernel(model, algorithm, pooled, axis_name,
                                         use_pallas=use_pallas,
                                         shard_mesh=shard_mesh,
                                         shard_axis=shard_axis,
-                                        fused_opts=fused_opts)
+                                        fused_opts=fused_opts,
+                                        post_step=post_step)
     return _KERNEL_CACHE[key]
 
 
@@ -628,7 +635,8 @@ def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
                      collect_sketch=None,
                      store_draws: bool = True,
                      sync_blocks: bool = False,
-                     use_pallas: str = "auto") -> MCMCResult:
+                     use_pallas: str = "auto",
+                     post_step: Optional[Callable] = None) -> MCMCResult:
     """NUTS with the default windowed warmup (``mcmc_with_warmup``,
     ``mcmc.jl:109-128``).  ``delta`` is the dual-averaging target acceptance
     rate (the reference's ``δ`` kwarg, ``mcmc.jl:110-111``).  ``use_pallas``
@@ -638,7 +646,8 @@ def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
     if warmup_stages is None:
         warmup_stages = default_warmup_stages(
             stepsize_adaptation=DualAveraging(delta=delta))
-    kern = _kernel(model, algorithm, pooled, None, use_pallas=use_pallas)
+    kern = _kernel(model, algorithm, pooled, None, use_pallas=use_pallas,
+                   post_step=post_step)
     return kern.run(key, n_draws, n_chains, warmup_stages=warmup_stages,
                     q=q, metric=metric, eps=eps, dtype=dtype, reporter=reporter,
                     thin=thin, draw_block=draw_block,

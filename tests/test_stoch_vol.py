@@ -103,3 +103,57 @@ def test_stoch_vol_tree_kernel_transition_interpret():
     # logp of the proposal must match the model's logp at the proposal
     want = np.asarray(jax.vmap(model.logp)(z2.q))
     np.testing.assert_allclose(np.asarray(z2.logp), want, rtol=2e-4, atol=2e-3)
+
+
+def test_asis_whiten_reconstruct_roundtrip():
+    from inplacedhmc_tpu.models.stoch_vol import _reconstruct, _whiten
+    key = jax.random.PRNGKey(0)
+    c, t = 7, 19
+    raw_phi = jax.random.normal(key, (c,), jnp.float64)
+    log_s = jax.random.normal(jax.random.PRNGKey(1), (c,), jnp.float64) - 1.0
+    h = jax.random.normal(jax.random.PRNGKey(2), (c, t), jnp.float64)
+    import numpy as np
+    eps = _whiten(raw_phi, log_s, h)
+    h2 = _reconstruct(raw_phi, log_s, eps)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h), rtol=1e-9,
+                               atol=1e-9)
+    # and the reconstruction matches the sequential recurrence
+    phi = np.tanh(np.asarray(raw_phi)); s = np.exp(np.asarray(log_s))
+    e = np.asarray(eps)
+    h_seq = np.zeros((c, t))
+    h_seq[:, 0] = s * e[:, 0] / np.sqrt(1 - phi**2)
+    for i in range(1, t):
+        h_seq[:, i] = phi * h_seq[:, i - 1] + s * e[:, i]
+    np.testing.assert_allclose(np.asarray(h2), h_seq, rtol=1e-9, atol=1e-9)
+
+
+def test_asis_interleaving_preserves_posterior():
+    """sampling with the ASIS post-step must target the same posterior as
+    plain NUTS (composition of invariant kernels), and the MH leg must
+    actually move theta."""
+    import numpy as np
+    from inplacedhmc_tpu.models.stoch_vol import make_asis_hook
+    from inplacedhmc_tpu.sample import mcmc_with_warmup
+    from inplacedhmc_tpu.config import DualAveraging, default_warmup_stages
+
+    r = synthetic_returns(jax.random.PRNGKey(0), 32, phi=0.95, s=0.25)
+    model = stoch_vol(r)
+    stages = default_warmup_stages(
+        stepsize_adaptation=DualAveraging(delta=0.9), init_steps=30,
+        middle_steps=25, doubling_stages=2, terminating_steps=25)
+    res_plain = mcmc_with_warmup(jax.random.PRNGKey(1), model, 500, 32,
+                                 warmup_stages=stages)
+    hook = make_asis_hook(r)
+    res_asis = mcmc_with_warmup(jax.random.PRNGKey(1), model, 500, 32,
+                                warmup_stages=stages, post_step=hook)
+    d0 = np.asarray(res_plain.draws)
+    d1 = np.asarray(res_asis.draws)
+    assert np.isfinite(d1).all()
+    # theta moved between ASIS and plain (the hook is not a no-op)
+    assert np.abs(d1[..., 0] - d0[..., 0]).max() > 1e-4
+    for idx, tol in [(0, 0.25), (1, 0.2)]:
+        m0, m1 = d0[..., idx].mean(), d1[..., idx].mean()
+        assert abs(m0 - m1) < tol, (idx, m0, m1)
+    # latent posterior agrees too
+    np.testing.assert_allclose(d1[..., 2:].mean((0, 1)),
+                               d0[..., 2:].mean((0, 1)), atol=0.35)
