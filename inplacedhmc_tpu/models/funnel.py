@@ -15,6 +15,25 @@ import jax.numpy as jnp
 from .base import Model
 
 
+def _make_tile_logp(k: int, scale: float):
+    """Whole-tile log density for the Pallas whole-tree kernel
+    (ops/tree_pallas.py): layout ``[v, x_1..x_{dim-1}]``; exp(-v) divergences
+    are contained by the kernel's leaf sanitization."""
+    inv_s2 = 1.0 / (scale * scale)
+    kf = float(k)
+
+    def tile_logp(q, refs):
+        xm = refs["x_mask"][0:1, :]      # 1 on the x lanes (1 .. dim-1)
+        v = q[:, 0:1]
+        sumsq = jnp.sum(xm * q * q, axis=1, keepdims=True)
+        return -0.5 * (inv_s2 * v * v + sumsq * jnp.exp(-v) + kf * v)
+
+    return tile_logp
+
+
+_TILE_CACHE: dict = {}
+
+
 def funnel(dim: int = 10, scale: float = 3.0) -> Model:
     k = dim - 1
 
@@ -25,4 +44,13 @@ def funnel(dim: int = 10, scale: float = 3.0) -> Model:
         lp_x = -0.5 * (jnp.sum(x * x) * jnp.exp(-v) + k * v)
         return lp_v + lp_x
 
-    return Model(name=f"funnel_{dim}", dim=dim, logp=logp)
+    import numpy as _np
+    xm = _np.zeros((1, dim), _np.float32)
+    xm[0, 1:] = 1.0
+    ckey = (k, float(scale))
+    if ckey not in _TILE_CACHE:
+        _TILE_CACHE[ckey] = _make_tile_logp(k, scale)
+    return Model(name=f"funnel_{dim}", dim=dim, logp=logp,
+                 structure={"kind": "tile_logp",
+                            "tile_logp": _TILE_CACHE[ckey],
+                            "data": {"x_mask": xm}})

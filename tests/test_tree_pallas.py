@@ -295,3 +295,49 @@ def test_tree_kernel_nan_gradient_containment():
     # at least one chain must have recorded a divergence
     from inplacedhmc_tpu.core.state import Termination
     assert int(jnp.sum(stats.termination == Termination.DIVERGENCE)) > 0
+
+
+def test_funnel_tile_physics_matches_logp():
+    import numpy as np
+    from inplacedhmc_tpu.models import funnel
+    from inplacedhmc_tpu.ops.tree_pallas import _round_up
+
+    model = funnel(10)
+    st = model.structure
+    c, dim = 12, model.dim
+    dpad = _round_up(dim, 128)
+    q = jax.random.normal(jax.random.PRNGKey(0), (c, dim), jnp.float32)
+    q_p = jnp.zeros((c, dpad), jnp.float32).at[:, :dim].set(q)
+    refs = {}
+    for name, arr in st["data"].items():
+        a = jnp.asarray(arr, jnp.float32)
+        refs[name] = jnp.zeros((a.shape[0], dpad), jnp.float32) \
+            .at[:, :a.shape[1]].set(a)
+    got = np.asarray(st["tile_logp"](q_p, refs))[:, 0]
+    want = np.asarray(jax.vmap(model.logp)(q))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+
+
+def test_funnel_tree_kernel_divergences_survive():
+    """The funnel on the whole-tree kernel: big eps must produce divergences
+    (reported, not fatal) and finite states — config 2's semantics on the
+    fused path."""
+    import numpy as np
+    from inplacedhmc_tpu.core.state import Termination
+    from inplacedhmc_tpu.models import funnel
+    from inplacedhmc_tpu.sample import mcmc_with_warmup
+    from inplacedhmc_tpu.config import default_warmup_stages, DualAveraging
+
+    model = funnel(8)
+    # local optimization disabled: the funnel's density mode sits at
+    # v = -4.5*(dim-1), deep in the neck (see test_sampling.py's funnel test)
+    stages = default_warmup_stages(
+        local_optimization=None,
+        stepsize_adaptation=DualAveraging(delta=0.9), init_steps=40,
+        middle_steps=25, doubling_stages=2, terminating_steps=25)
+    res = mcmc_with_warmup(jax.random.PRNGKey(0), model, 400, 16,
+                           warmup_stages=stages, use_pallas="tree")
+    d = np.asarray(res.draws)
+    assert np.isfinite(d).all()
+    v = d[..., 0]
+    assert abs(v.mean()) < 1.5 and 1.2 < v.std() < 4.0
