@@ -54,6 +54,12 @@ def main():
     ap.add_argument("--asis", action="store_true",
                     help="interleave ASIS hyperparameter MH updates "
                          "(models.stoch_vol.make_asis_hook)")
+    ap.add_argument("--use-pallas", default="auto",
+                    help="NUTSKernel use_pallas policy for this run")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="directory for warmup/sampling checkpoints: "
+                         "crashed runs resume from the last completed "
+                         "stage / sampling block")
     ap.add_argument("--draw-block", type=int, default=None)
     ap.add_argument("--tuning-chunk", type=int, default=None)
     ap.add_argument("--verbose", action="store_true")
@@ -78,6 +84,11 @@ def main():
     if args.verbose:
         from inplacedhmc_tpu.report import LogProgressReport
         reporter = LogProgressReport(time_interval_s=0.0)
+    wck = sck = None
+    if args.checkpoint_dir:
+        os.makedirs(args.checkpoint_dir, exist_ok=True)
+        wck = os.path.join(args.checkpoint_dir, "warmup.npz")
+        sck = os.path.join(args.checkpoint_dir, "sample.npz")
     post = None
     if args.asis:
         from inplacedhmc_tpu.models.stoch_vol import make_asis_hook
@@ -85,6 +96,9 @@ def main():
     res = mcmc_with_warmup(jax.random.PRNGKey(args.seed), model, args.draws,
                            args.chains, warmup_stages=stages, dtype=dtype,
                            post_step=post,
+                           use_pallas=args.use_pallas,
+                           warmup_checkpoint_path=wck,
+                           sample_checkpoint_path=sck,
                            thin=args.thin, draw_block=args.draw_block,
                            tuning_chunk=args.tuning_chunk, reporter=reporter,
                            sync_blocks=True,
