@@ -61,6 +61,11 @@ def main():
                          "crashed runs resume from the last completed "
                          "stage / sampling block")
     ap.add_argument("--draw-block", type=int, default=None)
+    ap.add_argument("--checkpoint-throttle", type=float, default=0.0,
+                    help="seconds between sampling-checkpoint saves (0 = "
+                         "every block); long runs with small blocks should "
+                         "throttle — a ~1 GB lean state saved every few "
+                         "seconds dominates wall time")
     ap.add_argument("--tuning-chunk", type=int, default=None)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
@@ -99,6 +104,7 @@ def main():
                            use_pallas=args.use_pallas,
                            warmup_checkpoint_path=wck,
                            sample_checkpoint_path=sck,
+                           checkpoint_throttle_s=args.checkpoint_throttle,
                            thin=args.thin, draw_block=args.draw_block,
                            tuning_chunk=args.tuning_chunk, reporter=reporter,
                            sync_blocks=True,

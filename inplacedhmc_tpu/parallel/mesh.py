@@ -148,7 +148,8 @@ def run_sharded(key, model, n_draws: int, n_chains: int, *, mesh: Mesh,
                 warmup_checkpoint_path=None, sample_checkpoint_path=None,
                 keep_dims=None, collect_moments: bool = False,
                 collect_sketch=None, store_draws: bool = True,
-                sync_blocks: bool = False):
+                sync_blocks: bool = False,
+                checkpoint_throttle_s: float = 0.0):
     """Full warmup + sampling with chains sharded over ``mesh`` — same driver
     surface as the single-device path (``thin``, ``draw_block``,
     checkpointing; the reference's multi-chain driver has the full surface of
@@ -192,4 +193,5 @@ def run_sharded(key, model, n_draws: int, n_chains: int, *, mesh: Mesh,
                         keep_dims=keep_dims, collect_moments=collect_moments,
                         collect_sketch=collect_sketch,
                         store_draws=store_draws,
-                        sync_blocks=sync_blocks)
+                        sync_blocks=sync_blocks,
+                        checkpoint_throttle_s=checkpoint_throttle_s)

@@ -21,6 +21,7 @@ the Python loop between blocks is the reference's ``_warmup!`` unroller
 from __future__ import annotations
 
 import functools
+import time
 from typing import Callable, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -277,24 +278,26 @@ class NUTSKernel:
 
     def _sampling_fn(self, n_draws: int, thin: int = 1,
                      keep_dims=None, moments: bool = False,
-                     moment_offset: int = 0, moment_total=None):
-        key = ("sampling", n_draws, thin, keep_dims, moments, moment_offset,
-               moment_total)
+                     moment_total=None):
+        """The draw offset inside the whole run (for split-moment halves) is a
+        RUNTIME argument of the compiled function — a block loop calls one
+        executable for every block instead of recompiling per offset."""
+        key = ("sampling", n_draws, thin, keep_dims, moments, moment_total)
         if key not in self._jit_cache:
             f = functools.partial(W.run_sampling, potential=self.potential,
                                   algorithm=self.algorithm, n_draws=n_draws,
                                   thin=thin, keep_dims=keep_dims,
-                                  moment_offset=moment_offset,
                                   moment_total=moment_total,
                                   step_factory=self.step_factory,
                                   transition_factory=self.transition_factory,
                                   post_step=self.post_step)
             if moments:
-                g = jax.jit(lambda k, state, mom: f(k, state=state,
-                                                    moments0=mom))
-                self._jit_cache[key] = lambda k, state, mom=None: g(
+                g = jax.jit(lambda k, state, mom, off: f(
+                    k, state=state, moments0=mom, moment_offset=off))
+                self._jit_cache[key] = lambda k, state, mom=None, offset=0: g(
                     k, state, W.init_split_moments(state.z.q)
-                    if mom is None else mom)
+                    if mom is None else mom,
+                    jnp.asarray(offset, jnp.int32))
             else:
                 self._jit_cache[key] = jax.jit(
                     lambda k, state: f(k, state=state))
@@ -417,7 +420,8 @@ class NUTSKernel:
             collect_moments: bool = False,
             collect_sketch=None,
             store_draws: bool = True,
-            sync_blocks: bool = False) -> MCMCResult:
+            sync_blocks: bool = False,
+            checkpoint_throttle_s: float = 0.0) -> MCMCResult:
         """``draw_block``: split sampling into device calls of at most this
         many draws — bounds single-execution wall time (remote runtimes kill
         multi-minute calls) and gives per-block progress reporting.
@@ -447,6 +451,13 @@ class NUTSKernel:
         draw arrays are dropped after feeding the sketch/moments —
         ``result.draws`` is then ``None`` and sampling memory is independent
         of ``n_draws``.
+
+        ``checkpoint_throttle_s``: skip the per-block sampling checkpoint
+        unless this many seconds elapsed since the last save (0 = save every
+        block).  A lean checkpoint fetches the full moment accumulators
+        (O(C·D)) to host; long runs with small blocks (a ~1 GB state saved
+        every few seconds) should throttle — a crash then loses at most the
+        throttle window.
 
         ``sync_blocks``: fetch a cheap value after every warmup chunk /
         sampling block so at most one device call is ever in flight.  JAX
@@ -499,8 +510,8 @@ class NUTSKernel:
             return blk._replace(draws=blk.draws[:, :0])
 
         if draw_block is None or draw_block >= n_draws:
-            out = self._sampling_fn(n_draws, thin, kd, collect_moments)(
-                k_sample, state)
+            args = (k_sample, state)
+            out = self._sampling_fn(n_draws, thin, kd, collect_moments)(*args)
             if sk is not None:
                 sk = self._sketch_update(sk, out.draws, 0, n_draws)
         elif collect_moments or sk is not None:
@@ -512,6 +523,7 @@ class NUTSKernel:
             mom = None
             blocks = []
             done = 0
+            last_save = -float("inf")
             z_cur = state.z
             if sample_checkpoint_path is not None:
                 resumed = load_lean_checkpoint(sample_checkpoint_path)
@@ -524,11 +536,11 @@ class NUTSKernel:
             while done < n_draws:
                 nb = min(draw_block, n_draws - done)
                 k_sample, kb = jax.random.split(k_sample)
-                blk = self._sampling_fn(nb, thin, kd, collect_moments, done,
+                blk = self._sampling_fn(nb, thin, kd, collect_moments,
                                         n_draws)(
                     kb, WarmupState(z=z_cur, metric=state.metric,
                                     log_eps=state.log_eps),
-                    *((mom,) if collect_moments else ()))
+                    *((mom, done) if collect_moments else ()))
                 z_cur, mom = blk.z, blk.moments
                 if sk is not None:
                     if (collect_sketch.tail and sk.tail is None and done > 0
@@ -544,9 +556,12 @@ class NUTSKernel:
                 done += nb
                 if sync_blocks:
                     _sync_fence(z_cur)
-                if sample_checkpoint_path is not None:
+                if sample_checkpoint_path is not None and (
+                        time.monotonic() - last_save >= checkpoint_throttle_s
+                        or done >= n_draws):
                     save_lean_checkpoint(sample_checkpoint_path, z_cur,
                                          k_sample, done, blocks, mom, sk)
+                    last_save = time.monotonic()
                 reporter.step(done)
             out = jax.tree_util.tree_map(
                 lambda *xs: jnp.concatenate(xs, axis=0) if xs[0].ndim else xs[0],
@@ -557,6 +572,7 @@ class NUTSKernel:
                                            save_sampling_checkpoint)
             blocks = []
             done = 0
+            last_save = -float("inf")
             z_cur = state.z
             if sample_checkpoint_path is not None:
                 resumed = load_sampling_checkpoint(sample_checkpoint_path)
@@ -574,9 +590,12 @@ class NUTSKernel:
                 done += nb
                 if sync_blocks:
                     _sync_fence(z_cur)
-                if sample_checkpoint_path is not None:
+                if sample_checkpoint_path is not None and (
+                        time.monotonic() - last_save >= checkpoint_throttle_s
+                        or done >= n_draws):
                     save_sampling_checkpoint(sample_checkpoint_path, z_cur,
                                              k_sample, done, blocks)
+                    last_save = time.monotonic()
                 reporter.step(done)
             out = jax.tree_util.tree_map(
                 lambda *xs: jnp.concatenate(xs, axis=0) if xs[0].ndim else xs[0],
@@ -635,6 +654,7 @@ def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
                      collect_sketch=None,
                      store_draws: bool = True,
                      sync_blocks: bool = False,
+                     checkpoint_throttle_s: float = 0.0,
                      use_pallas: str = "auto",
                      post_step: Optional[Callable] = None) -> MCMCResult:
     """NUTS with the default windowed warmup (``mcmc_with_warmup``,
@@ -656,7 +676,8 @@ def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
                     sample_checkpoint_path=sample_checkpoint_path,
                     keep_dims=keep_dims, collect_moments=collect_moments,
                     collect_sketch=collect_sketch, store_draws=store_draws,
-                    sync_blocks=sync_blocks)
+                    sync_blocks=sync_blocks,
+                    checkpoint_throttle_s=checkpoint_throttle_s)
 
 
 def threaded_mcmc(key, model: Model, n_draws: int, n_chains: int, *,
