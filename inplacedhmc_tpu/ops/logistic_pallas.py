@@ -50,11 +50,18 @@ def _make_fused_kernel(grad_bf16: bool):
 
         eta = jax.lax.dot_general(q, x, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)  # [BC, BN]
-        # log(1 + e^eta) computed stably: max(eta,0) + log1p(exp(-|eta|))
-        ll = y[None, :] * eta - (jnp.maximum(eta, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(eta))))
+        # one transcendental pair serves both the value and the gradient:
+        # t = e^{-|eta|} gives log(1+e^eta) = max(eta,0) + log1p(t) (stable)
+        # and sigmoid(eta) = 1/(1+t) for eta>=0, t/(1+t) otherwise — saves a
+        # second exp per element on the VPU (the [BC, BN] elementwise block is
+        # a material fraction of kernel time next to the two MXU matmuls)
+        t = jnp.exp(-jnp.abs(eta))
+        ll = y[None, :] * eta - (jnp.maximum(eta, 0.0) + jnp.log1p(t))
         logp_ref[:] += jnp.sum(ll * w[None, :], axis=1, keepdims=True)
 
-        resid = (y[None, :] - jax.nn.sigmoid(eta)) * w[None, :]     # [BC, BN]
+        inv1pt = 1.0 / (1.0 + t)
+        sig = jnp.where(eta >= 0.0, inv1pt, t * inv1pt)
+        resid = (y[None, :] - sig) * w[None, :]                     # [BC, BN]
         if grad_bf16:
             # bf16 inputs for the backward contraction, f32 accumulate: a
             # single native MXU pass instead of the multi-pass f32 product.
