@@ -65,6 +65,21 @@ def _sync_fence(z):
     float(jnp.sum(z.logp))
 
 
+def _merge_blocks(blocks, z_cur, mom=None):
+    """Concatenate per-block draws/stats into one ``SamplingResult``.  Blocks
+    may live on device (no checkpointing) or on host as numpy (checkpointed
+    runs keep only host copies so device buffers are freed block by block);
+    host blocks are merged with numpy so nothing is re-uploaded."""
+    import numpy as np
+    cat = (np.concatenate if isinstance(blocks[0].draws, np.ndarray)
+           else jnp.concatenate)
+    draws = cat([b.draws for b in blocks], axis=0)
+    stats = jax.tree_util.tree_map(
+        lambda *xs: cat(xs, axis=0) if xs[0].ndim else xs[0],
+        *[b.stats for b in blocks])
+    return W.SamplingResult(z=z_cur, draws=draws, stats=stats, moments=mom)
+
+
 def _shard_map_transition(trans, mesh, axis_name: str):
     """Wrap a fused whole-transition function so each device runs it on its
     local chain shard: inputs/outputs are sharded over ``axis_name`` on their
@@ -518,7 +533,8 @@ class NUTSKernel:
             # block path with streaming moments: the moment carry (and its
             # fixed qref) threads across blocks; offsets locate each block's
             # draws in the global first/second half
-            from .utils.checkpoint import (load_lean_checkpoint,
+            from .utils.checkpoint import (append_sampling_block,
+                                           load_lean_checkpoint,
                                            save_lean_checkpoint)
             mom = None
             blocks = []
@@ -556,19 +572,22 @@ class NUTSKernel:
                 done += nb
                 if sync_blocks:
                     _sync_fence(z_cur)
-                if sample_checkpoint_path is not None and (
-                        time.monotonic() - last_save >= checkpoint_throttle_s
-                        or done >= n_draws):
-                    save_lean_checkpoint(sample_checkpoint_path, z_cur,
-                                         k_sample, done, blocks, mom, sk)
-                    last_save = time.monotonic()
+                if sample_checkpoint_path is not None:
+                    # each block is persisted once (O(block)) and kept as a
+                    # host copy (frees its device buffers); the O(C*D)
+                    # accumulator state is saved on the throttle cadence
+                    blocks[-1] = append_sampling_block(
+                        sample_checkpoint_path, done - nb, nb, blocks[-1])
+                    if (time.monotonic() - last_save >= checkpoint_throttle_s
+                            or done >= n_draws):
+                        save_lean_checkpoint(sample_checkpoint_path, z_cur,
+                                             k_sample, done, mom, sk)
+                        last_save = time.monotonic()
                 reporter.step(done)
-            out = jax.tree_util.tree_map(
-                lambda *xs: jnp.concatenate(xs, axis=0) if xs[0].ndim else xs[0],
-                *blocks)
-            out = out._replace(z=z_cur, moments=mom)
+            out = _merge_blocks(blocks, z_cur, mom)
         else:
-            from .utils.checkpoint import (load_sampling_checkpoint,
+            from .utils.checkpoint import (append_sampling_block,
+                                           load_sampling_checkpoint,
                                            save_sampling_checkpoint)
             blocks = []
             done = 0
@@ -590,17 +609,16 @@ class NUTSKernel:
                 done += nb
                 if sync_blocks:
                     _sync_fence(z_cur)
-                if sample_checkpoint_path is not None and (
-                        time.monotonic() - last_save >= checkpoint_throttle_s
-                        or done >= n_draws):
-                    save_sampling_checkpoint(sample_checkpoint_path, z_cur,
-                                             k_sample, done, blocks)
-                    last_save = time.monotonic()
+                if sample_checkpoint_path is not None:
+                    blocks[-1] = append_sampling_block(
+                        sample_checkpoint_path, done - nb, nb, blk)
+                    if (time.monotonic() - last_save >= checkpoint_throttle_s
+                            or done >= n_draws):
+                        save_sampling_checkpoint(sample_checkpoint_path,
+                                                 z_cur, k_sample, done)
+                        last_save = time.monotonic()
                 reporter.step(done)
-            out = jax.tree_util.tree_map(
-                lambda *xs: jnp.concatenate(xs, axis=0) if xs[0].ndim else xs[0],
-                *blocks)
-            out = out._replace(z=z_cur)
+            out = _merge_blocks(blocks, z_cur)
         reporter.end_stage()
         ws = None
         if collect_warmup_stats and warmup_stats:

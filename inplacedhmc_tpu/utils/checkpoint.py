@@ -74,23 +74,96 @@ def load_warmup_checkpoint(path: str) -> Tuple[WarmupState, jnp.ndarray, int]:
     return WarmupState(z=ev, metric=metric, log_eps=log_eps), key, stage_idx
 
 
-def save_sampling_checkpoint(path: str, z: EvalPoint, key, done: int, blocks):
+def _blocks_dir(path: str) -> str:
+    return path + ".blocks"
+
+
+def append_sampling_block(path: str, start: int, count: int, blk):
+    """Persist ONE completed sampling block (its draws + tree stats) under
+    ``<path>.blocks/block_<start>.npz``.  Incremental by design: each block is
+    fetched from device and written exactly once, so checkpointing cost is
+    O(block) per block instead of O(run so far) per save — the legacy
+    all-blocks re-save was quadratic in run length and, through a
+    remote-attached runtime (TPU tunnel), dominated wall time for long runs.
+
+    If the file already exists it is kept: block content is a deterministic
+    function of the checkpointed RNG stream, so a crash-replayed block
+    reproduces identical draws and the existing file is already correct.
+
+    Returns the block as a HOST (numpy) ``SamplingResult`` (``z=None``,
+    ``moments=None``) so the caller can drop its device copy — accumulating
+    hundreds of live device buffers over a long run degrades remote-attached
+    runtimes."""
+    from ..adapt.warmup import SamplingResult
+    from ..core.state import TreeStats
+
+    draws = np.asarray(blk.draws)
+    stats = TreeStats(**{n: np.asarray(getattr(blk.stats, n))
+                         for n in blk.stats._fields})
+    host = SamplingResult(z=None, draws=draws, stats=stats)
+    d = _blocks_dir(path)
+    os.makedirs(d, exist_ok=True)
+    fname = os.path.join(d, f"block_{start:08d}.npz")
+    if os.path.exists(fname):
+        return host
+    payload = {"start": np.asarray(start), "count": np.asarray(count),
+               "draws": draws}
+    for name in stats._fields:
+        payload["stat_" + name] = getattr(stats, name)
+    tmp = fname + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **payload)
+    os.replace(tmp, fname)
+    return host
+
+
+def _load_blocks(path: str, done: int):
+    """Read the per-block files covering draws ``[0, done)`` as host
+    ``SamplingResult``s; blocks written past ``done`` (appended after the
+    last state save) are left on disk — the replay regenerates them
+    bit-identically.  Raises if the files do not tile the range contiguously
+    (can only happen if a block file was deleted)."""
+    from ..adapt.warmup import SamplingResult
+    from ..core.state import TreeStats
+
+    d = _blocks_dir(path)
+    names = sorted(os.listdir(d)) if os.path.isdir(d) else []
+    blocks, covered = [], 0
+    for name in names:
+        if not (name.startswith("block_") and name.endswith(".npz")):
+            continue
+        start = int(name[6:-4])
+        if start >= done:
+            continue
+        if start != covered:
+            raise RuntimeError(
+                f"sampling checkpoint {path!r} is missing blocks: expected "
+                f"draw {covered}, found block at {start}")
+        with np.load(os.path.join(d, name), allow_pickle=False) as f:
+            stats = TreeStats(**{n: np.asarray(f["stat_" + n])
+                                 for n in TreeStats._fields})
+            blocks.append(SamplingResult(z=None, draws=np.asarray(f["draws"]),
+                                         stats=stats))
+            covered = start + int(f["count"])
+    if covered != done:
+        raise RuntimeError(
+            f"sampling checkpoint {path!r} covers {covered} draws, state "
+            f"says {done}")
+    return blocks
+
+
+def save_sampling_checkpoint(path: str, z: EvalPoint, key, done: int):
     """Atomically checkpoint mid-sampling progress: current phase point, RNG
-    key, number of draws completed, and all draws/stats collected so far
-    (the ``draw_block`` loop is the natural checkpoint boundary for long
-    sampling runs — the reference runs to completion in one call,
-    ``mcmc.jl:94-106``, and cannot resume)."""
-    merged = jax.tree_util.tree_map(
-        lambda *xs: jnp.concatenate(xs, axis=0) if xs[0].ndim else xs[0],
-        *blocks)
+    key and number of draws completed (the ``draw_block`` loop is the natural
+    checkpoint boundary for long sampling runs — the reference runs to
+    completion in one call, ``mcmc.jl:94-106``, and cannot resume).  Draw
+    blocks themselves are persisted incrementally by
+    :func:`append_sampling_block`."""
     payload = {
         "q": np.asarray(z.q), "logp": np.asarray(z.logp),
         "grad": np.asarray(z.grad), "key": np.asarray(key),
         "done": np.asarray(done),
-        "draws": np.asarray(merged.draws),
     }
-    for name in merged.stats._fields:
-        payload["stat_" + name] = np.asarray(getattr(merged.stats, name))
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **payload)
@@ -98,9 +171,11 @@ def save_sampling_checkpoint(path: str, z: EvalPoint, key, done: int, blocks):
 
 
 def load_sampling_checkpoint(path: str):
-    """Load a :func:`save_sampling_checkpoint` file; returns ``(z, key, done,
-    [block])`` with the collected draws repackaged as one block, or ``None``
-    if the file does not exist."""
+    """Load a sampling checkpoint; returns ``(z, key, done, blocks)`` or
+    ``None`` if the file does not exist.  Reads both the incremental format
+    (state file + ``<path>.blocks/`` dir) and the legacy single-file format
+    (all draws in the state file); a legacy load rewrites its merged draws as
+    ``block_00000000.npz`` so subsequent incremental saves stay consistent."""
     from ..adapt.warmup import SamplingResult
     from ..core.state import TreeStats
 
@@ -109,10 +184,15 @@ def load_sampling_checkpoint(path: str):
     with np.load(path, allow_pickle=False) as f:
         z = EvalPoint(q=jnp.asarray(f["q"]), logp=jnp.asarray(f["logp"]),
                       grad=jnp.asarray(f["grad"]))
-        stats = TreeStats(**{name: jnp.asarray(f["stat_" + name])
-                             for name in TreeStats._fields})
-        block = SamplingResult(z=z, draws=jnp.asarray(f["draws"]), stats=stats)
-        return z, jnp.asarray(f["key"]), int(f["done"]), [block]
+        key, done = jnp.asarray(f["key"]), int(f["done"])
+        if "draws" in f:  # legacy: one file holding every block so far
+            stats = TreeStats(**{name: np.asarray(f["stat_" + name])
+                                 for name in TreeStats._fields})
+            block = SamplingResult(z=None, draws=np.asarray(f["draws"]),
+                                   stats=stats)
+            append_sampling_block(path, 0, done, block)
+            return z, key, done, [block]
+    return z, key, done, _load_blocks(path, done)
 
 
 def _acov_payload(prefix, a, payload):
@@ -134,25 +214,22 @@ def _acov_load(prefix, f):
                          cnt=jnp.asarray(f[prefix + "cnt"]))
 
 
-def save_lean_checkpoint(path: str, z: EvalPoint, key, done: int, blocks,
+def save_lean_checkpoint(path: str, z: EvalPoint, key, done: int,
                          mom=None, sketch=None):
     """Checkpoint a streaming-accumulator (``collect_moments`` /
-    ``collect_sketch``) sampling run: phase point, RNG key, progress, stats
-    blocks (draws may be zero-width in ``store_draws=False`` mode), and the
+    ``collect_sketch``) sampling run: phase point, RNG key, progress and the
     accumulator pytrees — the long-run / lean-memory analog of
-    :func:`save_sampling_checkpoint`."""
-    merged = jax.tree_util.tree_map(
-        lambda *xs: jnp.concatenate(xs, axis=0) if xs[0].ndim else xs[0],
-        *blocks)
+    :func:`save_sampling_checkpoint`.  Draw/stat blocks are persisted
+    incrementally by :func:`append_sampling_block` (draws may be zero-width
+    in ``store_draws=False`` mode), so this save is O(C·D) regardless of how
+    long the run is."""
     payload = {
         "q": np.asarray(z.q), "logp": np.asarray(z.logp),
         "grad": np.asarray(z.grad), "key": np.asarray(key),
-        "done": np.asarray(done), "draws": np.asarray(merged.draws),
+        "done": np.asarray(done),
         "has_mom": np.asarray(mom is not None),
         "has_sketch": np.asarray(sketch is not None),
     }
-    for name in merged.stats._fields:
-        payload["stat_" + name] = np.asarray(getattr(merged.stats, name))
     if mom is not None:
         payload.update(mom_qref=np.asarray(mom.qref), mom_cnt=np.asarray(mom.cnt),
                        mom_s1=np.asarray(mom.s1), mom_s2=np.asarray(mom.s2))
@@ -175,8 +252,11 @@ def save_lean_checkpoint(path: str, z: EvalPoint, key, done: int, blocks,
 
 
 def load_lean_checkpoint(path: str):
-    """Load a :func:`save_lean_checkpoint` file; returns ``(z, key, done,
-    [block], mom, sketch)`` or ``None`` if the file does not exist."""
+    """Load a lean checkpoint; returns ``(z, key, done, blocks, mom, sketch)``
+    or ``None`` if the file does not exist.  Reads both the incremental
+    format (state file + ``<path>.blocks/``) and the legacy single-file
+    format; a legacy load rewrites its merged draws as ``block_00000000.npz``
+    so subsequent incremental saves stay consistent."""
     from ..adapt.warmup import SamplingResult, SplitMoments
     from ..core.state import TreeStats
     from ..sketch import RankHistSketch, StreamSketch, TailSketch
@@ -186,9 +266,15 @@ def load_lean_checkpoint(path: str):
     with np.load(path, allow_pickle=False) as f:
         z = EvalPoint(q=jnp.asarray(f["q"]), logp=jnp.asarray(f["logp"]),
                       grad=jnp.asarray(f["grad"]))
-        stats = TreeStats(**{name: jnp.asarray(f["stat_" + name])
-                             for name in TreeStats._fields})
-        block = SamplingResult(z=z, draws=jnp.asarray(f["draws"]), stats=stats)
+        done = int(f["done"])
+        if "draws" in f:  # legacy: one file holding every block so far
+            stats = TreeStats(**{name: np.asarray(f["stat_" + name])
+                                 for name in TreeStats._fields})
+            blocks = [SamplingResult(z=None, draws=np.asarray(f["draws"]),
+                                     stats=stats)]
+            append_sampling_block(path, 0, done, blocks[0])
+        else:
+            blocks = _load_blocks(path, done)
         mom = None
         if bool(f["has_mom"]):
             mom = SplitMoments(qref=jnp.asarray(f["mom_qref"]),
@@ -210,7 +296,7 @@ def load_lean_checkpoint(path: str):
                                   start=jnp.asarray(f["tail_start"]))
             sketch = StreamSketch(rank=rank, acov=_acov_load("ac_", f),
                                   tail=tail)
-        return z, jnp.asarray(f["key"]), int(f["done"]), [block], mom, sketch
+        return z, jnp.asarray(f["key"]), done, blocks, mom, sketch
 
 
 def warmup_with_checkpoints(kernel, key, state: WarmupState, stages,
