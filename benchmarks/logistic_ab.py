@@ -54,12 +54,18 @@ def main():
                       "eps": float(jnp.exp(state.log_eps))}), flush=True)
 
     kern_tree = _kernel(model, NUTS(), True, None, use_pallas="tree")
+    kern_tree_vjp = _kernel(model, NUTS(), True, None, use_pallas="tree",
+                            tree_opts={"physics_mode": "vjp"})
+    kern_tree_bf16 = _kernel(model, NUTS(), True, None, use_pallas="tree",
+                             tree_opts={"grad_bf16": True})
     kern_bf16 = _kernel(model, NUTS(), True, None, use_pallas="on",
                         fused_opts={"grad_bf16": True})
     results = {}
     for name, kern in [("xla_fused_potential", kern_xla),
                        ("xla_fused_potential_gradbf16", kern_bf16),
-                       ("tree_kernel", kern_tree)]:
+                       ("tree_kernel", kern_tree),           # chunked physics
+                       ("tree_kernel_vjp", kern_tree_vjp),   # round-1 physics
+                       ("tree_kernel_gradbf16", kern_tree_bf16)]:
         fn = kern._sampling_fn(args.draws)
         t0 = time.perf_counter()
         out = fn(k_sample, state)

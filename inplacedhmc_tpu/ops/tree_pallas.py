@@ -527,6 +527,7 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
                          max_depth: int = 10, min_delta: float = -1000.0,
                          block_c: int = 256, interpret: bool = False,
                          ckpt_bf16: bool = False,
+                         tile_value_grad=None,
                          _ablate: frozenset = frozenset()):
     """Whole-transition kernel for **arbitrary tile physics**.
 
@@ -538,6 +539,13 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
     the pad).  Lane hygiene is automatic: ``q`` is masked to the real ``dim``
     lanes before ``tile_logp`` and the generated gradient is masked after, so
     padded lanes can never contaminate the dynamics.
+
+    ``tile_value_grad(q_tile, data: dict[str, Ref]) -> (logp [BC, 1],
+    grad [BC, dpad])``: optional hand-fused value+gradient physics that
+    bypasses the in-kernel autodiff — use when the vjp would materialize
+    large per-leaf intermediates (e.g. a ``[BC, N]`` linear response) that a
+    streaming formulation avoids.  ``tile_logp`` is still required (it keys
+    the build cache and documents the density); masking works as above.
 
     ``metric_inv``: a ``[D]`` diagonal M⁻¹, a ``[D, D]`` dense M⁻¹, or a
     :class:`~inplacedhmc_tpu.core.metric.DiagMetric`/:class:`DenseMetric`.
@@ -586,7 +594,8 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
     # cache the built (and later jit-compiled) runner by static config so a
     # metric re-estimate between warmup stages does not trigger a recompile:
     # the metric is a runtime argument of `run`
-    cache_key = (tile_logp, tuple(names), tuple(a.shape for a in padded),
+    cache_key = (tile_logp, tile_value_grad, tuple(names),
+                 tuple(a.shape for a in padded),
                  dim, max_depth, float(min_delta), block_c, interpret,
                  dense, ckpt_bf16, _ablate)
     if cache_key in _RUN_CACHE:
@@ -596,6 +605,9 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
             refs = {name: data_refs[k] for k, name in enumerate(names)}
             mask = data_refs[-1][0:1, :]
             q_eff = q * mask
+            if tile_value_grad is not None:
+                logp, grad = tile_value_grad(q_eff, refs)
+                return logp, grad * mask
             # vjp shares the forward pass between value and gradient: for
             # matmul-dominated physics (logistic: eta = q Xᵀ) this is 2 MXU
             # matmuls per leaf instead of the 3 that a separate
@@ -686,45 +698,126 @@ def make_logistic_tree_transition(x, y, inv_var, metric_inv, *,
                                   max_depth: int = 10,
                                   min_delta: float = -1000.0,
                                   block_c: int = 128, interpret: bool = False,
-                                  ckpt_bf16: bool = False):
+                                  ckpt_bf16: bool = False,
+                                  physics_mode: str = "chunked",
+                                  grad_bf16: bool = False,
+                                  block_n: int = 2048):
     """Whole-transition kernel for Bayesian logistic regression — the primary
     ESS/s benchmark target (BASELINE config 3).
 
-    The design matrix stays **resident in VMEM** as ``Xᵀ`` (``[dpad, N_pad]``,
-    ~5 MB at 10k x 50); every leapfrog leaf runs two MXU matmuls
-    (``eta = q Xᵀ`` forward and the ``sigmoid``-residual contraction the
-    in-kernel ``jax.grad`` generates for the gradient).  Works with diagonal
-    *and* dense metrics (the benchmark config mandates dense,
-    ``BASELINE.json:8``; reference dense path ``hamiltonian.jl:206-225``).
+    ``physics_mode="chunked"`` (default): hand-fused value+gradient physics
+    mirroring :mod:`~inplacedhmc_tpu.ops.logistic_pallas` — the design matrix
+    stays resident in VMEM **obs-major** (``[N_pad, dpad]``, ~5 MB at
+    10k x 50) and each leapfrog leaf streams it in ``[block_n, dpad]`` slices:
+    per slice one forward MXU contraction (``eta``), one shared
+    ``exp(-|eta|)`` serving both the stable ``log1p`` and the sigmoid
+    residual, and one backward MXU contraction accumulating the gradient.
+    The ``[BC, N]`` response never exists; peak extra VMEM per leaf is
+    ``O(BC x block_n)``.  ``grad_bf16`` runs the backward contraction with
+    bf16 inputs / f32 accumulation (exactness-preserving: HMC is valid for
+    any deterministic gradient field; the log density stays f32).
 
-    The tile log density is cached per ``inv_var`` so metric re-estimates
-    between warmup windows reuse the compiled kernel (the metric is a runtime
+    ``physics_mode="vjp"``: the original formulation (``Xᵀ`` resident, leaf
+    gradient via in-kernel autodiff, full ``[BC, N]`` intermediates) — kept
+    for A/B measurement.
+
+    Works with diagonal *and* dense metrics (the benchmark config mandates
+    dense, ``BASELINE.json:8``; reference dense path
+    ``hamiltonian.jl:206-225``).  Tile physics are cached per
+    ``(inv_var, mode, grad_bf16, block_n)`` so metric re-estimates between
+    warmup windows reuse the compiled kernel (the metric is a runtime
     argument).
     """
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     n_obs, d = x.shape
     pk = float(inv_var)
-    if pk not in _LOGISTIC_TILE_CACHE:
-        def tile_logp(q, refs):
-            xt = refs["xt"][:]            # [dpad, npad]
-            yrow = refs["yobs"][0:1, :]   # [1, npad]
-            obs = refs["obsmask"][0:1, :]
-            eta = jnp.dot(q, xt, preferred_element_type=jnp.float32)
-            # y*eta - log(1+exp(eta)), padded observations masked out
-            ll = jnp.sum(obs * (yrow * eta - jnp.logaddexp(0.0, eta)),
-                         axis=1, keepdims=True)
-            return ll - 0.5 * pk * jnp.sum(q * q, axis=1, keepdims=True)
-
-        _LOGISTIC_TILE_CACHE[pk] = tile_logp
-    tile_logp = _LOGISTIC_TILE_CACHE[pk]
-    # Xᵀ rows must align with the q tile's padded lane count (the generic
-    # padder only rounds to (8, 128) tiles)
     dpad = _round_up(d, 128)
-    xt = jnp.zeros((dpad, n_obs), jnp.float32).at[:d, :].set(x.T)
-    data = {"xt": xt, "yobs": y,
-            "obsmask": jnp.ones((n_obs,), jnp.float32)}
+
+    if physics_mode == "vjp":
+        key = (pk, "vjp")
+        if key not in _LOGISTIC_TILE_CACHE:
+            def tile_logp(q, refs):
+                xt = refs["xt"][:]            # [dpad, npad]
+                yrow = refs["yobs"][0:1, :]   # [1, npad]
+                obs = refs["obsmask"][0:1, :]
+                eta = jnp.dot(q, xt, preferred_element_type=jnp.float32)
+                # y*eta - log(1+exp(eta)), padded observations masked out
+                ll = jnp.sum(obs * (yrow * eta - jnp.logaddexp(0.0, eta)),
+                             axis=1, keepdims=True)
+                return ll - 0.5 * pk * jnp.sum(q * q, axis=1, keepdims=True)
+
+            _LOGISTIC_TILE_CACHE[key] = (tile_logp, None)
+        tile_logp, tile_vg = _LOGISTIC_TILE_CACHE[key]
+        # Xᵀ rows must align with the q tile's padded lane count (the generic
+        # padder only rounds to (8, 128) tiles)
+        xt = jnp.zeros((dpad, n_obs), jnp.float32).at[:d, :].set(x.T)
+        data = {"xt": xt, "yobs": y,
+                "obsmask": jnp.ones((n_obs,), jnp.float32)}
+    elif physics_mode == "chunked":
+        key = (pk, "chunked", bool(grad_bf16), int(block_n))
+        if key not in _LOGISTIC_TILE_CACHE:
+            bn = int(block_n)
+            bf16 = bool(grad_bf16)
+
+            def tile_logp(q, refs):
+                # reference density for the chunked data layout (cache key /
+                # documentation; runtime uses tile_vg below)
+                xo = refs["xobs"][:]          # [npad, dpad]
+                yrow = refs["yw"][0:1, :]     # [1, npad]
+                w = refs["yw"][1:2, :]
+                eta = jax.lax.dot_general(q, xo, (((1,), (1,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+                ll = jnp.sum(w * (yrow * eta - jnp.logaddexp(0.0, eta)),
+                             axis=1, keepdims=True)
+                return ll - 0.5 * pk * jnp.sum(q * q, axis=1, keepdims=True)
+
+            def tile_vg(q, refs):
+                xr, ywr = refs["xobs"], refs["yw"]
+                npad = xr.shape[0]
+                logp = -0.5 * pk * jnp.sum(q * q, axis=1, keepdims=True)
+                grad = -pk * q
+                for j in range(npad // bn):
+                    xs = xr[j * bn:(j + 1) * bn, :]       # [bn, dpad]
+                    ys = ywr[0:1, j * bn:(j + 1) * bn]    # [1, bn]
+                    ws = ywr[1:2, j * bn:(j + 1) * bn]
+                    # forward eta stays f32: the log density must match the
+                    # XLA potential (energies drive accept/reject)
+                    eta = jax.lax.dot_general(
+                        q, xs, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # [BC, bn]
+                    # t = e^{-|eta|} serves the stable log(1+e^eta) AND the
+                    # sigmoid (logistic_pallas.py:53-63 — one transcendental
+                    # pair per element)
+                    t = jnp.exp(-jnp.abs(eta))
+                    ll = ys * eta - (jnp.maximum(eta, 0.0) + jnp.log1p(t))
+                    logp = logp + jnp.sum(ll * ws, axis=1, keepdims=True)
+                    inv1pt = 1.0 / (1.0 + t)
+                    sig = jnp.where(eta >= 0.0, inv1pt, t * inv1pt)
+                    resid = (ys - sig) * ws
+                    if bf16:
+                        # backward contraction only: bf16 inputs, f32
+                        # accumulate (logistic_pallas.py:65-76 semantics —
+                        # a deterministic perturbed gradient keeps HMC exact;
+                        # logp is NOT touched)
+                        resid = resid.astype(jnp.bfloat16)
+                        xs = xs.astype(jnp.bfloat16)
+                    grad = grad + jax.lax.dot_general(
+                        resid, xs, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                return logp, grad
+
+            _LOGISTIC_TILE_CACHE[key] = (tile_logp, tile_vg)
+        tile_logp, tile_vg = _LOGISTIC_TILE_CACHE[key]
+        npad = _round_up(n_obs, block_n)
+        xo = jnp.zeros((npad, dpad), jnp.float32).at[:n_obs, :d].set(x)
+        yw = jnp.zeros((2, npad), jnp.float32)
+        yw = yw.at[0, :n_obs].set(y).at[1, :n_obs].set(1.0)
+        data = {"xobs": xo, "yw": yw}
+    else:
+        raise ValueError(f"unknown physics_mode {physics_mode!r}")
+
     return make_tree_transition(tile_logp, data, d, metric_inv,
                                 max_depth=max_depth, min_delta=min_delta,
                                 block_c=block_c, interpret=interpret,
-                                ckpt_bf16=ckpt_bf16)
+                                ckpt_bf16=ckpt_bf16, tile_value_grad=tile_vg)

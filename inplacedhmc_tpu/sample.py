@@ -138,6 +138,7 @@ class NUTSKernel:
                  pooled: bool = True, axis_name: Optional[str] = None,
                  use_pallas: str = "auto", shard_mesh=None,
                  shard_axis: str = "chain", fused_opts: Optional[dict] = None,
+                 tree_opts: Optional[dict] = None,
                  post_step: Optional[Callable] = None):
         """``shard_mesh``: a ``jax.sharding.Mesh`` with axis ``shard_axis``;
         when set, fused Pallas transitions are wrapped in ``shard_map`` so
@@ -190,6 +191,8 @@ class NUTSKernel:
             # Pallas interpreter there (for mesh-path tests on virtual devices)
             tree_interp = interp or jax.default_backend() == "cpu"
             mesh, axis = self.shard_mesh, self.shard_axis
+            topts = dict(tree_opts or {})  # kernel knobs: block_c/ckpt_bf16,
+            # logistic physics_mode/grad_bf16/block_n (benchmark sweeps)
 
             def tree_factory(metric, n_chains=None):
                 diag_ok = (isinstance(metric, DiagMetric)
@@ -205,17 +208,18 @@ class NUTSKernel:
                 if kind == "diag_gaussian":
                     trans = make_gaussian_tree_transition(
                         st["precision"], metric, max_depth=algo.max_depth,
-                        min_delta=algo.min_delta, interpret=tree_interp)
+                        min_delta=algo.min_delta, interpret=tree_interp,
+                        **topts)
                 elif kind == "logistic":
                     trans = make_logistic_tree_transition(
                         st["x"], st["y"], st["inv_var"], metric,
                         max_depth=algo.max_depth, min_delta=algo.min_delta,
-                        interpret=tree_interp)
+                        interpret=tree_interp, **topts)
                 else:
                     trans = make_tree_transition(
                         st["tile_logp"], st["data"], dim, metric,
                         max_depth=algo.max_depth, min_delta=algo.min_delta,
-                        interpret=tree_interp)
+                        interpret=tree_interp, **topts)
                 if mesh is not None:
                     trans = _shard_map_transition(trans, mesh, axis)
                 return trans
@@ -639,15 +643,18 @@ def _kernel(model: Model, algorithm: NUTS, pooled: bool,
             use_pallas: str = "auto", shard_mesh=None,
             shard_axis: str = "chain",
             fused_opts: Optional[dict] = None,
+            tree_opts: Optional[dict] = None,
             post_step: Optional[Callable] = None) -> NUTSKernel:
     key = (model, algorithm, pooled, axis_name, use_pallas, shard_mesh,
-           shard_axis, tuple(sorted((fused_opts or {}).items())), post_step)
+           shard_axis, tuple(sorted((fused_opts or {}).items())),
+           tuple(sorted((tree_opts or {}).items())), post_step)
     if key not in _KERNEL_CACHE:
         _KERNEL_CACHE[key] = NUTSKernel(model, algorithm, pooled, axis_name,
                                         use_pallas=use_pallas,
                                         shard_mesh=shard_mesh,
                                         shard_axis=shard_axis,
                                         fused_opts=fused_opts,
+                                        tree_opts=tree_opts,
                                         post_step=post_step)
     return _KERNEL_CACHE[key]
 

@@ -188,9 +188,15 @@ def test_pallas_tree_dense_metric_matches_oracle():
                                    want["accept"], atol=5e-4, err_msg=tag)
 
 
-def test_logistic_tree_kernel_matches_xla_tree():
+@pytest.mark.parametrize("physics_mode,block_n", [
+    ("chunked", 2048),   # one chunk, mostly padded observations
+    ("chunked", 128),    # several chunks exercise the streamed accumulation
+    ("vjp", 2048),       # original autodiff physics
+])
+def test_logistic_tree_kernel_matches_xla_tree(physics_mode, block_n):
     """Logistic tree kernel (X resident in VMEM, MXU matmuls per leaf) vs the
-    XLA tree on the same model, dense metric — the primary benchmark path."""
+    XLA tree on the same model, dense metric — the primary benchmark path.
+    Covers both the hand-fused chunked physics and the vjp formulation."""
     from inplacedhmc_tpu.core.metric import dense_metric
     from inplacedhmc_tpu.models.logistic import logistic_regression, synthetic_data
     from inplacedhmc_tpu.nuts.tree import nuts_transition
@@ -218,7 +224,9 @@ def test_logistic_tree_kernel_matches_xla_tree():
                                     momentum=jnp.asarray(p0))
     tr = make_logistic_tree_transition(st_m["x"], st_m["y"], st_m["inv_var"],
                                        metric, max_depth=5, block_c=8,
-                                       interpret=True)
+                                       interpret=True,
+                                       physics_mode=physics_mode,
+                                       block_n=block_n)
     z_pal, st_pal = tr(jax.random.PRNGKey(0), z, 0.3,
                        directions=jnp.asarray(dirs), momentum=jnp.asarray(p0))
     np.testing.assert_array_equal(np.asarray(st_pal.termination),
@@ -229,6 +237,38 @@ def test_logistic_tree_kernel_matches_xla_tree():
                                   np.asarray(st_ref.steps))
     np.testing.assert_allclose(np.asarray(st_pal.acceptance_rate),
                                np.asarray(st_ref.acceptance_rate), atol=1e-3)
+
+
+def test_logistic_chunked_physics_value_and_grad():
+    """The hand-fused chunked value+grad equals autodiff of the model logp
+    (same math as logistic_pallas: shared exp(-|eta|), streamed backward)."""
+    from inplacedhmc_tpu.core.metric import diag_metric
+    from inplacedhmc_tpu.models.logistic import logistic_regression, synthetic_data
+    from inplacedhmc_tpu.ops.tree_pallas import make_logistic_tree_transition
+
+    x, y, _ = synthetic_data(jax.random.PRNGKey(3), n_obs=300, n_features=7)
+    model = logistic_regression(x, y)
+    st_m = model.structure
+    pot = batched_logdensity_and_grad(model.logp)
+    c, d = 8, model.dim
+    q0 = np.random.default_rng(5).normal(size=(c, d)).astype(np.float32) * 0.2
+    lp_ref, g_ref = pot(jnp.asarray(q0))
+    z = EvalPoint(q=jnp.asarray(q0), logp=lp_ref, grad=g_ref)
+    metric = diag_metric(jnp.ones(d))
+    for grad_bf16 in (False, True):
+        tr = make_logistic_tree_transition(
+            st_m["x"], st_m["y"], st_m["inv_var"], metric, max_depth=2,
+            block_c=8, interpret=True, physics_mode="chunked", block_n=128,
+            grad_bf16=grad_bf16)
+        # a zero-step transition is impossible; instead check the returned
+        # proposal's logp/grad are self-consistent with the XLA potential
+        z2, _ = tr(jax.random.PRNGKey(1), z, 0.05)
+        lp2, g2 = pot(z2.q)
+        tol = 5e-2 if grad_bf16 else 2e-3
+        np.testing.assert_allclose(np.asarray(z2.logp), np.asarray(lp2),
+                                   rtol=1e-4, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(z2.grad), np.asarray(g2),
+                                   rtol=tol, atol=tol)
 
 
 def test_bf16_checkpoint_stacks_agree():
