@@ -149,7 +149,8 @@ def run_sharded(key, model, n_draws: int, n_chains: int, *, mesh: Mesh,
                 keep_dims=None, collect_moments: bool = False,
                 collect_sketch=None, store_draws: bool = True,
                 sync_blocks: bool = False,
-                checkpoint_throttle_s: float = 0.0):
+                checkpoint_throttle_s: float = 0.0,
+                fused_opts=None, tree_opts=None):
     """Full warmup + sampling with chains sharded over ``mesh`` — same driver
     surface as the single-device path (``thin``, ``draw_block``,
     checkpointing; the reference's multi-chain driver has the full surface of
@@ -179,7 +180,8 @@ def run_sharded(key, model, n_draws: int, n_chains: int, *, mesh: Mesh,
             stepsize_adaptation=DualAveraging(delta=delta))
 
     kern = _kernel(model, algorithm, True, None, use_pallas=use_pallas,
-                   shard_mesh=mesh, shard_axis=axis_name)
+                   shard_mesh=mesh, shard_axis=axis_name,
+                   fused_opts=fused_opts, tree_opts=tree_opts)
     with mesh:
         return kern.run(key, n_draws, n_chains, warmup_stages=warmup_stages,
                         dtype=dtype, reporter=reporter, thin=thin,

@@ -681,17 +681,21 @@ def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
                      sync_blocks: bool = False,
                      checkpoint_throttle_s: float = 0.0,
                      use_pallas: str = "auto",
+                     fused_opts: Optional[dict] = None,
+                     tree_opts: Optional[dict] = None,
                      post_step: Optional[Callable] = None) -> MCMCResult:
     """NUTS with the default windowed warmup (``mcmc_with_warmup``,
     ``mcmc.jl:109-128``).  ``delta`` is the dual-averaging target acceptance
     rate (the reference's ``δ`` kwarg, ``mcmc.jl:110-111``).  ``use_pallas``
-    selects the fused-kernel policy (see :class:`NUTSKernel`)."""
+    selects the fused-kernel policy and ``fused_opts``/``tree_opts`` reach
+    the fused-potential / whole-tree kernel knobs (see :class:`NUTSKernel`)."""
     if pooled is None:
         pooled = n_chains > 1
     if warmup_stages is None:
         warmup_stages = default_warmup_stages(
             stepsize_adaptation=DualAveraging(delta=delta))
     kern = _kernel(model, algorithm, pooled, None, use_pallas=use_pallas,
+                   fused_opts=fused_opts, tree_opts=tree_opts,
                    post_step=post_step)
     return kern.run(key, n_draws, n_chains, warmup_stages=warmup_stages,
                     q=q, metric=metric, eps=eps, dtype=dtype, reporter=reporter,
