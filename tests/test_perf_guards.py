@@ -85,3 +85,36 @@ def test_kernel_jit_cache_reused():
     assert f1 is f2
     f3 = kern._sampling_fn(50)
     assert f3 is not f1
+
+
+def test_logistic_chunked_physics_streams_obs():
+    """The hand-fused logistic tile physics must never materialize the full
+    [BC, N] linear response — observations stream through [BC, block_n]
+    slices (the VMEM-bounding property the chunked formulation exists for)."""
+    from inplacedhmc_tpu.ops.tree_pallas import (_LOGISTIC_TILE_CACHE,
+                                                 make_logistic_tree_transition,
+                                                 _round_up)
+    from inplacedhmc_tpu.core.metric import diag_metric
+
+    n_obs, d, bc, bn = 10_000, 50, 128, 2048
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n_obs, d)).astype(np.float32)
+    y = (rng.uniform(size=n_obs) < 0.5).astype(np.float32)
+    make_logistic_tree_transition(x, y, 0.1, diag_metric(jnp.ones(d)),
+                                  interpret=True, block_n=bn)
+    _, tile_vg = _LOGISTIC_TILE_CACHE[(0.1, "chunked", False, bn)]
+    dpad = _round_up(d, 128)
+    npad = _round_up(n_obs, bn)
+    refs = {"xobs": jnp.zeros((npad, dpad), jnp.float32),
+            "yw": jnp.zeros((2, npad), jnp.float32)}
+    jaxpr = jax.make_jaxpr(lambda q: tile_vg(q, refs))(
+        jnp.zeros((bc, dpad), jnp.float32))
+    biggest = 0
+    for eqn in jaxpr.jaxpr.eqns:
+        for av in eqn.outvars:
+            aval = getattr(av, "aval", None)
+            if aval is not None and hasattr(aval, "shape") and aval.shape:
+                biggest = max(biggest, int(np.prod(aval.shape)))
+    assert biggest < bc * npad, (
+        f"chunked physics materialized a {biggest}-element intermediate "
+        f"(>= the [BC, N] response it must avoid)")
