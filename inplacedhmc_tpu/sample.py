@@ -191,8 +191,20 @@ class NUTSKernel:
             # Pallas interpreter there (for mesh-path tests on virtual devices)
             tree_interp = interp or jax.default_backend() == "cpu"
             mesh, axis = self.shard_mesh, self.shard_axis
-            topts = dict(tree_opts or {})  # kernel knobs: block_c/ckpt_bf16,
-            # logistic physics_mode/grad_bf16/block_n (benchmark sweeps)
+            # kernel knobs: block_c/ckpt_bf16 for every physics; physics_mode/
+            # grad_bf16/block_n reach the logistic builder only — validate up
+            # front so a typo'd or inapplicable knob fails here, not after
+            # warmup has already started
+            _common = {"block_c", "ckpt_bf16"}
+            _by_kind = {"logistic": _common | {"physics_mode", "grad_bf16",
+                                               "block_n"}}
+            allowed = _by_kind.get(st.get("kind"), _common)
+            topts = dict(tree_opts or {})
+            unknown = set(topts) - allowed
+            if unknown:
+                raise ValueError(
+                    f"tree_opts {sorted(unknown)} not supported for model "
+                    f"kind {st.get('kind')!r} (allowed: {sorted(allowed)})")
 
             def tree_factory(metric, n_chains=None):
                 diag_ok = (isinstance(metric, DiagMetric)
@@ -454,6 +466,11 @@ class NUTSKernel:
         ``warmup_checkpoint_path`` / ``sample_checkpoint_path``: checkpoint
         after every warmup stage / sampling block and resume from the file if
         it exists (``sample_checkpoint_path`` requires ``draw_block``).
+        Checkpointed runs keep completed blocks on HOST (each block's device
+        buffers are freed once persisted), so ``result.draws``/``stats`` come
+        back as numpy arrays — transparent to jnp ops, but long [N, C, D]
+        results are not re-uploaded to device (deliberately: they can exceed
+        device memory on the runs checkpointing is for).
 
         ``keep_dims``: record only these coordinates in ``result.draws``
         (memory-bounded mode for huge chain-count × dimension products —

@@ -81,14 +81,14 @@ def _blocks_dir(path: str) -> str:
 def append_sampling_block(path: str, start: int, count: int, blk):
     """Persist ONE completed sampling block (its draws + tree stats) under
     ``<path>.blocks/block_<start>.npz``.  Incremental by design: each block is
-    fetched from device and written exactly once, so checkpointing cost is
-    O(block) per block instead of O(run so far) per save — the legacy
-    all-blocks re-save was quadratic in run length and, through a
-    remote-attached runtime (TPU tunnel), dominated wall time for long runs.
+    fetched from device and written once, so checkpointing cost is O(block)
+    per block instead of O(run so far) per save — the legacy all-blocks
+    re-save was quadratic in run length and, through a remote-attached
+    runtime (TPU tunnel), dominated wall time for long runs.
 
-    If the file already exists it is kept: block content is a deterministic
-    function of the checkpointed RNG stream, so a crash-replayed block
-    reproduces identical draws and the existing file is already correct.
+    An existing file at the same start (a crash-replayed block: written after
+    the last state save, so the replay regenerates it bit-identically from
+    the checkpointed RNG stream) is atomically overwritten.
 
     Returns the block as a HOST (numpy) ``SamplingResult`` (``z=None``,
     ``moments=None``) so the caller can drop its device copy — accumulating
@@ -104,8 +104,6 @@ def append_sampling_block(path: str, start: int, count: int, blk):
     d = _blocks_dir(path)
     os.makedirs(d, exist_ok=True)
     fname = os.path.join(d, f"block_{start:08d}.npz")
-    if os.path.exists(fname):
-        return host
     payload = {"start": np.asarray(start), "count": np.asarray(count),
                "draws": draws}
     for name in stats._fields:
@@ -117,29 +115,49 @@ def append_sampling_block(path: str, start: int, count: int, blk):
     return host
 
 
+def _block_files(path: str):
+    """``[(start, filename)]`` for the checkpoint's block dir, ordered by
+    start (numeric, NOT lexicographic — fixed-width names would misorder
+    past their digit budget)."""
+    d = _blocks_dir(path)
+    names = os.listdir(d) if os.path.isdir(d) else []
+    out = []
+    for name in names:
+        if name.startswith("block_") and name.endswith(".npz"):
+            out.append((int(name[6:-4]), os.path.join(d, name)))
+    return sorted(out)
+
+
+def _reset_blocks_dir(path: str) -> None:
+    """Delete any ``<path>.blocks/`` leftovers.  Called when a run starts
+    FRESH (no state file): stale block files from a previous run at the same
+    path would otherwise be trusted by the next resume and silently replace
+    the new run's draws."""
+    for _, fname in _block_files(path):
+        os.remove(fname)
+
+
 def _load_blocks(path: str, done: int):
     """Read the per-block files covering draws ``[0, done)`` as host
-    ``SamplingResult``s; blocks written past ``done`` (appended after the
-    last state save) are left on disk — the replay regenerates them
-    bit-identically.  Raises if the files do not tile the range contiguously
-    (can only happen if a block file was deleted)."""
+    ``SamplingResult``s.  Files at or past ``done`` (appended after the last
+    state save) are DELETED: the replay regenerates that range, and its block
+    boundaries may differ from the crashed run's (a resume may use another
+    ``draw_block``), so stale files must not survive to overlap the replay's.
+    Raises if the kept files do not tile ``[0, done)`` contiguously (can only
+    happen if a block file was deleted by hand)."""
     from ..adapt.warmup import SamplingResult
     from ..core.state import TreeStats
 
-    d = _blocks_dir(path)
-    names = sorted(os.listdir(d)) if os.path.isdir(d) else []
     blocks, covered = [], 0
-    for name in names:
-        if not (name.startswith("block_") and name.endswith(".npz")):
-            continue
-        start = int(name[6:-4])
+    for start, fname in _block_files(path):
         if start >= done:
+            os.remove(fname)
             continue
         if start != covered:
             raise RuntimeError(
                 f"sampling checkpoint {path!r} is missing blocks: expected "
                 f"draw {covered}, found block at {start}")
-        with np.load(os.path.join(d, name), allow_pickle=False) as f:
+        with np.load(fname, allow_pickle=False) as f:
             stats = TreeStats(**{n: np.asarray(f["stat_" + n])
                                  for n in TreeStats._fields})
             blocks.append(SamplingResult(z=None, draws=np.asarray(f["draws"]),
@@ -180,6 +198,7 @@ def load_sampling_checkpoint(path: str):
     from ..core.state import TreeStats
 
     if not os.path.exists(path):
+        _reset_blocks_dir(path)  # stale blocks from a previous run here
         return None
     with np.load(path, allow_pickle=False) as f:
         z = EvalPoint(q=jnp.asarray(f["q"]), logp=jnp.asarray(f["logp"]),
@@ -262,6 +281,7 @@ def load_lean_checkpoint(path: str):
     from ..sketch import RankHistSketch, StreamSketch, TailSketch
 
     if not os.path.exists(path):
+        _reset_blocks_dir(path)  # stale blocks from a previous run here
         return None
     with np.load(path, allow_pickle=False) as f:
         z = EvalPoint(q=jnp.asarray(f["q"]), logp=jnp.asarray(f["logp"]),

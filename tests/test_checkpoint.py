@@ -62,3 +62,62 @@ def test_resume_skips_completed_stages(tmp_path):
     np.testing.assert_allclose(np.asarray(s_full.z.q), np.asarray(s_resumed.z.q))
     np.testing.assert_allclose(np.asarray(s_full.log_eps),
                                np.asarray(s_resumed.log_eps))
+
+
+def _run_logistic(key, path=None, n_draws=60, draw_block=20,
+                  checkpoint_throttle_s=0.0, **kw):
+    from inplacedhmc_tpu.models import mvn
+    from inplacedhmc_tpu.sample import mcmc_with_warmup
+    model = mvn(np.array([[1.5, 0.4], [0.4, 1.0]]))
+    return mcmc_with_warmup(key, model, n_draws, n_chains=8,
+                            draw_block=draw_block, sample_checkpoint_path=path,
+                            checkpoint_throttle_s=checkpoint_throttle_s,
+                            dtype=jnp.float64, **kw)
+
+
+def test_fresh_run_clears_stale_blocks(tmp_path):
+    """Deleting the state file to restart must not resurrect the previous
+    run's block files: a fresh run clears <path>.blocks/ or the next resume
+    would silently return the OLD run's draws."""
+    import os
+    p = str(tmp_path / "s.npz")
+    r_a = _run_logistic(jax.random.PRNGKey(3), p)
+    os.remove(p)  # "restart fresh", blocks dir left behind
+    r_b = _run_logistic(jax.random.PRNGKey(99), p)
+    r_b_resumed = _run_logistic(jax.random.PRNGKey(99), p)
+    np.testing.assert_array_equal(np.asarray(r_b_resumed.draws),
+                                  np.asarray(r_b.draws))
+    assert not np.allclose(np.asarray(r_b.draws), np.asarray(r_a.draws))
+
+
+def test_resume_with_different_draw_block(tmp_path):
+    """Blocks appended after the last state save use the crashed run's block
+    size; a resume with a DIFFERENT draw_block must replay cleanly (stale
+    future blocks deleted) and still match the uninterrupted run's draws."""
+    from inplacedhmc_tpu.report import NoProgressReport
+
+    class Boom(Exception):
+        pass
+
+    class CrashReporter(NoProgressReport):
+        def __init__(self):
+            self.k = 0
+
+        def step(self, done):
+            self.k += 1
+            if self.k == 3:
+                raise Boom()
+
+    p = str(tmp_path / "s.npz")
+    ref = _run_logistic(jax.random.PRNGKey(5), None, draw_block=20)
+    try:
+        # blocks at 0/20/40 exist, state says done=20 (throttle blocks the
+        # 2nd/3rd state save)
+        _run_logistic(jax.random.PRNGKey(5), p, draw_block=20,
+                      checkpoint_throttle_s=9999.0, reporter=CrashReporter())
+    except Boom:
+        pass
+    r1 = _run_logistic(jax.random.PRNGKey(5), p, draw_block=15)
+    r2 = _run_logistic(jax.random.PRNGKey(5), p, draw_block=15)  # resume again
+    assert np.asarray(r1.draws).shape == np.asarray(ref.draws).shape
+    np.testing.assert_array_equal(np.asarray(r2.draws), np.asarray(r1.draws))
