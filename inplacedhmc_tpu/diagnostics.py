@@ -302,9 +302,12 @@ def posterior_summary_streamed(sketch, n_chains: int,
     """The same table from a :class:`~inplacedhmc_tpu.sketch.StreamSketch`
     (draw-free runs, ``store_draws=False``): moments and quantiles come from
     the pooled histograms (exact up to binning — quantiles are interpolated
-    within bins), ESS from the lag-window sketch, R̂ from the rank sketch.
-    Tail ESS needs stored draws and is reported as ``None``."""
-    from .sketch import ess_from_sketch, rank_rhat_from_sketch
+    within bins via :func:`~inplacedhmc_tpu.sketch.quantiles_from_hist`),
+    bulk ESS from the lag-window sketch, R̂ from the rank sketch, and tail
+    ESS from the two-phase indicator sketch when the run streamed one
+    (``None`` otherwise)."""
+    from .sketch import (ess_from_sketch, quantiles_from_hist,
+                         rank_rhat_from_sketch)
 
     rk = sketch.rank
     p = np.asarray(jnp.sum(rk.counts, axis=(0, 1))).astype(np.float64)  # [D, B]
@@ -317,17 +320,7 @@ def posterior_summary_streamed(sketch, n_chains: int,
     w = p / total
     mean = (w * mids).sum(-1)
     var = (w * (mids - mean[:, None]) ** 2).sum(-1)
-    cum = np.cumsum(p, axis=-1) / total
-
-    def quantile(q):
-        out = np.empty(d)
-        for i in range(d):
-            j = int(np.searchsorted(cum[i], q))
-            j = min(j, b - 1)
-            c0 = cum[i, j - 1] if j > 0 else 0.0
-            frac = (q - c0) / max(cum[i, j] - c0, 1e-12)
-            out[i] = edges[i, j] + frac * (edges[i, j + 1] - edges[i, j])
-        return out
+    qs = np.asarray(quantiles_from_hist(rk, [0.05, 0.5, 0.95]))
 
     ess = ess_from_sketch(sketch.acov, n_chains)
     et = None
@@ -337,7 +330,7 @@ def posterior_summary_streamed(sketch, n_chains: int,
     return PosteriorSummary(
         names=_default_names(d, names),
         mean=mean, sd=np.sqrt(var),
-        q5=quantile(0.05), q50=quantile(0.5), q95=quantile(0.95),
+        q5=qs[0], q50=qs[1], q95=qs[2],
         ess_bulk=np.asarray(ess.ess), ess_tail=et,
         rhat=np.asarray(rank_rhat_from_sketch(rk)))
 

@@ -52,26 +52,31 @@ class SketchConfig:
     post-warmup positions; values beyond it clip into the end bins.
 
     ``tail``: also stream tail-ESS (Vehtari et al. 2021: min ESS of the
-    5%/95% quantile-indicator sequences).  The thresholds are not known
-    during a streaming pass, so they are frozen from the pooled histogram
-    once ``tail_after`` of the draws have arrived and the indicator
+    ``tail_probs`` quantile-indicator sequences).  The thresholds are not
+    known during a streaming pass, so they are frozen from the pooled
+    histogram once ``tail_after`` of the draws have arrived and the indicator
     autocovariances stream over the remainder — a two-phase protocol: the
     reported tail ESS covers the last ``1 - tail_after`` of the run (with
     threshold error O(1/sqrt(first-phase draws)), immaterial against the
-    indicator-sequence noise).  Requires blockwise updates (``draw_block``)."""
+    indicator-sequence noise).  Requires blockwise updates (``draw_block``).
+
+    ``max_lag`` should be ODD: Geyer's estimator consumes lags in pairs
+    ``(2k, 2k+1)``, so an even ``max_lag`` accumulates a final lag it never
+    reads."""
 
     bins: int = 64
-    max_lag: int = 64
+    max_lag: int = 63
     range_sigmas: float = 8.0
     tail: bool = True
     tail_after: float = 0.5
+    tail_probs: tuple = (0.05, 0.95)
 
 
 class RankHistSketch(NamedTuple):
     lo: jnp.ndarray       # [D] histogram lower edge per coordinate
     width: jnp.ndarray    # [D] total support width
     counts: jnp.ndarray   # [2, C, D, B] int32 per-half per-chain histograms
-    cnt: jnp.ndarray      # [2] float draws per half
+    # (per-half draw counts are sums over counts; no separate counter)
 
 
 class AutocovSketch(NamedTuple):
@@ -108,15 +113,25 @@ def init_stream_sketch(q: jnp.ndarray, config: SketchConfig = SketchConfig(),
     across the posterior, so this covers it with wide margins)."""
     c, d = q.shape
     b, ell = config.bins, config.max_lag
+    if b < 2:
+        raise ValueError(f"SketchConfig.bins must be >= 2, got {b}")
+    if ell < 1:
+        raise ValueError(f"SketchConfig.max_lag must be >= 1, got {ell}")
+    if not 0.0 < config.tail_after < 1.0:
+        raise ValueError(
+            f"SketchConfig.tail_after must be in (0, 1), got {config.tail_after}")
     dt = q.dtype
     if lo is None or hi is None:
         m = jnp.mean(q, axis=0)
         sd = jnp.maximum(jnp.std(q, axis=0), 1e-6 * jnp.abs(m) + 1e-12)
         lo = m - config.range_sigmas * sd
         hi = m + config.range_sigmas * sd
+    # a degenerate (or user-inverted) support would make bin indices
+    # divide-by-zero garbage; floor the width instead
+    width = jnp.maximum(jnp.asarray(hi, dt) - jnp.asarray(lo, dt), 1e-12)
     rank = RankHistSketch(
-        lo=jnp.asarray(lo, dt), width=jnp.asarray(hi, dt) - jnp.asarray(lo, dt),
-        counts=jnp.zeros((2, c, d, b), jnp.int32), cnt=jnp.zeros((2,), dt))
+        lo=jnp.asarray(lo, dt), width=width,
+        counts=jnp.zeros((2, c, d, b), jnp.int32))
     acov = AutocovSketch(
         qref=q, ring=jnp.zeros((ell, c, d), dt),
         s1=jnp.zeros((2, c, d), dt), lag=jnp.zeros((2, ell + 1, d), dt),
@@ -128,8 +143,13 @@ def _update_rank(sk: RankHistSketch, draws: jnp.ndarray, offset: int,
                  total: int) -> RankHistSketch:
     n, c, d = draws.shape
     b = sk.counts.shape[-1]
-    idx = jnp.clip(((draws - sk.lo) / sk.width * b).astype(jnp.int32),
-                   0, b - 1)                               # [n, C, D]
+    # clip in FLOAT before the int cast: far-out-of-support values would
+    # overflow the float->int32 conversion (implementation-defined in XLA —
+    # large positives can come back INT_MIN and land in bin 0); NaNs go to
+    # bin 0 explicitly
+    pos = (draws - sk.lo) / sk.width * b
+    pos = jnp.where(jnp.isnan(pos), 0.0, pos)
+    idx = jnp.clip(pos, 0.0, float(b - 1)).astype(jnp.int32)  # [n, C, D]
     halves = ((offset + jnp.arange(n)) >= total // 2).astype(jnp.int32)
 
     def body(counts, xs):
@@ -138,8 +158,7 @@ def _update_rank(sk: RankHistSketch, draws: jnp.ndarray, offset: int,
         return counts.at[h].add(onehot), None
 
     counts, _ = lax.scan(body, sk.counts, (idx, halves))
-    cnt = sk.cnt.at[0].add(jnp.sum(halves == 0)).at[1].add(jnp.sum(halves == 1))
-    return sk._replace(counts=counts, cnt=cnt)
+    return sk._replace(counts=counts)
 
 
 def _update_acov(sk: AutocovSketch, draws: jnp.ndarray, offset: int,
@@ -197,13 +216,16 @@ def update_stream_sketch(sk: StreamSketch, draws: jnp.ndarray, offset: int,
 
 def quantiles_from_hist(sk: RankHistSketch, qs) -> jnp.ndarray:
     """Pooled posterior quantiles from the histogram, interpolated within
-    bins.  ``qs``: sequence of probabilities -> ``[len(qs), D]``."""
+    bins.  ``qs``: sequence of probabilities -> ``[len(qs), D]``.  Coordinates
+    whose histogram is still EMPTY report NaN (an argmax over an all-False
+    ECDF comparison would silently return the lower support edge)."""
     p = jnp.sum(sk.counts, axis=(0, 1)).astype(sk.lo.dtype)   # [D, B]
     d, b = p.shape
     total = jnp.sum(p, axis=-1, keepdims=True)
     cum = jnp.cumsum(p, axis=-1) / jnp.maximum(total, 1.0)    # [D, B]
     edges = sk.lo[:, None] + jnp.arange(b + 1) / b * sk.width[:, None]
     qs = jnp.asarray(qs, sk.lo.dtype)
+    empty = total[:, 0] == 0                                  # [D]
 
     def one(q):
         j = jnp.argmax(cum >= q, axis=-1)                     # [D]
@@ -214,17 +236,18 @@ def quantiles_from_hist(sk: RankHistSketch, qs) -> jnp.ndarray:
         e0 = jnp.take_along_axis(edges, j[:, None], axis=-1)[:, 0]
         e1 = jnp.take_along_axis(edges, (j + 1)[:, None], axis=-1)[:, 0]
         frac = (q - c0) / jnp.maximum(c1 - c0, 1e-12)
-        return e0 + frac * (e1 - e0)
+        return jnp.where(empty, jnp.nan, e0 + frac * (e1 - e0))
 
     return jax.vmap(one)(qs)
 
 
 def activate_tail(sk: StreamSketch, config: SketchConfig,
                   start: int) -> StreamSketch:
-    """Begin tail-ESS phase 2: freeze the 5%/95% thresholds from the pooled
-    histogram accumulated so far and start indicator autocovariance sketches
-    for the draws from global index ``start`` on."""
-    qlohi = quantiles_from_hist(sk.rank, jnp.asarray([0.05, 0.95]))
+    """Begin tail-ESS phase 2: freeze the ``config.tail_probs`` (default
+    5%/95%) thresholds from the pooled histogram accumulated so far and start
+    indicator autocovariance sketches for the draws from global index
+    ``start`` on."""
+    qlohi = quantiles_from_hist(sk.rank, jnp.asarray(list(config.tail_probs)))
     c, d = sk.acov.qref.shape
     ell = sk.acov.ring.shape[0]
     dt = sk.acov.qref.dtype
@@ -287,6 +310,7 @@ def rank_rhat_from_sketch(sk: RankHistSketch) -> jnp.ndarray:
     counts = sk.counts
     b = counts.shape[-1]
     p = jnp.sum(counts, axis=(0, 1)).astype(sk.lo.dtype)   # [D, B] pooled
+    d = p.shape[0]
     total = jnp.sum(p, axis=-1, keepdims=True)
     cum = jnp.cumsum(p, axis=-1)
     avg_rank = cum - p + (p + 1.0) / 2.0                   # midranks, 1-based
@@ -294,15 +318,28 @@ def rank_rhat_from_sketch(sk: RankHistSketch) -> jnp.ndarray:
     bulk = _split_rhat_of_z(counts, z_bulk)
 
     # folded: |mid - median| ranks; median = midpoint of the bin where the
-    # pooled ECDF crosses 1/2
-    mids = sk.lo[:, None] + (jnp.arange(b) + 0.5) / b * sk.width[:, None]
+    # pooled ECDF crosses 1/2.  Bins are evenly spaced, so mirror pairs
+    # around the median bin fold onto EXACTLY the same value — rank by the
+    # integer distance |k - med_bin| (exact ties by construction; float
+    # |mids - med| would break ties by rounding noise) and give tied bins
+    # their shared average pooled rank, the same midrank treatment bins
+    # already get internally.  Without this, a mirror pair gets left-then-
+    # right distinct ranks, injecting the sign information folding removes.
     med_bin = jnp.argmax(cum >= 0.5 * total, axis=-1)      # [D]
-    med = jnp.take_along_axis(mids, med_bin[:, None], axis=-1)
-    y = jnp.abs(mids - med)                                # [D, B]
+    y = jnp.abs(jnp.arange(b)[None, :] - med_bin[:, None])  # [D, B] int
     order = jnp.argsort(y, axis=-1)
     p_sorted = jnp.take_along_axis(p, order, axis=-1)
-    cum_s = jnp.cumsum(p_sorted, axis=-1)
-    rank_sorted = cum_s - p_sorted + (p_sorted + 1.0) / 2.0
+    y_sorted = jnp.take_along_axis(y, order, axis=-1)
+    # group id per sorted position = # of distinct-y boundaries before it
+    newgrp = jnp.concatenate(
+        [jnp.ones((d, 1), jnp.int32),
+         (y_sorted[:, 1:] != y_sorted[:, :-1]).astype(jnp.int32)], axis=-1)
+    gidx = jnp.cumsum(newgrp, axis=-1) - 1                 # [D, B]
+    onehot = (gidx[..., None] == jnp.arange(b)).astype(p.dtype)  # [D, B, G]
+    group_tot = jnp.einsum("dbg,db->dg", onehot, p_sorted)
+    group_before = jnp.cumsum(group_tot, axis=-1) - group_tot
+    rank_sorted = (jnp.take_along_axis(group_before, gidx, axis=-1)
+                   + (jnp.take_along_axis(group_tot, gidx, axis=-1) + 1.0) / 2.0)
     rank_fold = jnp.zeros_like(rank_sorted)
     rank_fold = jnp.put_along_axis(rank_fold, order, rank_sorted, axis=-1,
                                    inplace=False)

@@ -255,7 +255,7 @@ def save_lean_checkpoint(path: str, z: EvalPoint, key, done: int,
     if sketch is not None:
         rk = sketch.rank
         payload.update(rk_lo=np.asarray(rk.lo), rk_width=np.asarray(rk.width),
-                       rk_counts=np.asarray(rk.counts), rk_cnt=np.asarray(rk.cnt))
+                       rk_counts=np.asarray(rk.counts))
         _acov_payload("ac_", sketch.acov, payload)
         payload["has_tail"] = np.asarray(sketch.tail is not None)
         if sketch.tail is not None:
@@ -303,10 +303,11 @@ def load_lean_checkpoint(path: str):
                                s2=jnp.asarray(f["mom_s2"]))
         sketch = None
         if bool(f["has_sketch"]):
+            # (older checkpoints also stored a redundant rk_cnt counter;
+            # per-half counts are sums over rk_counts, so it is ignored)
             rank = RankHistSketch(lo=jnp.asarray(f["rk_lo"]),
                                   width=jnp.asarray(f["rk_width"]),
-                                  counts=jnp.asarray(f["rk_counts"]),
-                                  cnt=jnp.asarray(f["rk_cnt"]))
+                                  counts=jnp.asarray(f["rk_counts"]))
             tail = None
             if bool(f["has_tail"]):
                 tail = TailSketch(q05=jnp.asarray(f["tail_q05"]),

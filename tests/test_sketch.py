@@ -308,3 +308,56 @@ class TestLeanCheckpoint:
                                    rtol=1e-12)
         assert resumed.stats.steps.shape == full.stats.steps.shape
         assert resumed.sample_sketch.tail is not None
+
+
+class TestSketchRobustness:
+    def test_far_outliers_land_in_end_bins(self):
+        """Values far outside the histogram support must clip into the END
+        bins, not overflow the float->int32 cast (implementation-defined in
+        XLA: large positives can come back INT_MIN and land in bin 0)."""
+        q0 = jnp.zeros((4, 2), jnp.float32)
+        # tiny support: width floored at 1e-12, so ordinary draws are ~1e13
+        # bin-widths away — exactly the overflow regime
+        sk = init_stream_sketch(q0, SketchConfig(bins=8, tail=False))
+        draws = jnp.concatenate([
+            jnp.full((2, 4, 2), 1e6, jnp.float32),
+            jnp.full((2, 4, 2), -1e6, jnp.float32)], axis=0)
+        sk = update_stream_sketch(sk, draws, 0, 4)
+        counts = np.asarray(jnp.sum(sk.rank.counts, axis=(0, 1)))  # [D, B]
+        assert counts[:, -1].sum() == 2 * 4 * 2  # positives -> top bin
+        assert counts[:, 0].sum() == 2 * 4 * 2   # negatives -> bottom bin
+        assert counts[:, 1:-1].sum() == 0
+
+    def test_empty_histogram_quantiles_are_nan(self):
+        from inplacedhmc_tpu.sketch import quantiles_from_hist
+        sk = init_stream_sketch(jnp.zeros((4, 3), jnp.float32),
+                                SketchConfig(bins=8, tail=False))
+        qs = np.asarray(quantiles_from_hist(sk.rank, [0.05, 0.95]))
+        assert np.isnan(qs).all()
+
+    def test_config_validation(self):
+        q0 = jnp.zeros((4, 2), jnp.float32)
+        with pytest.raises(ValueError):
+            init_stream_sketch(q0, SketchConfig(bins=1))
+        with pytest.raises(ValueError):
+            init_stream_sketch(q0, SketchConfig(max_lag=0))
+        with pytest.raises(ValueError):
+            init_stream_sketch(q0, SketchConfig(tail_after=1.5))
+
+    def test_folded_ranks_are_mirror_symmetric(self):
+        """Chains occupying mirror-image bins around the pooled median must
+        fold onto identical rank-z scores: asymmetric tie-breaking would
+        inflate the folded R-hat component with sign information the fold is
+        supposed to remove."""
+        key = jax.random.PRNGKey(0)
+        base = jax.random.normal(key, (512, 8, 1), jnp.float64)
+        # chains 0-3 see +x, chains 4-7 see -x: identical after folding
+        flip = jnp.where(jnp.arange(8)[None, :, None] < 4, 1.0, -1.0)
+        draws = base * flip
+        sk = _run_sketch(draws, SketchConfig(bins=64, tail=False))
+        r_mirror = float(rank_rhat_from_sketch(sk.rank)[0])
+        sk2 = _run_sketch(base, SketchConfig(bins=64, tail=False))
+        r_same = float(rank_rhat_from_sketch(sk2.rank)[0])
+        # folding removes the sign: the mirrored ensemble should look no
+        # worse than the unflipped one (up to binning noise)
+        assert abs(r_mirror - r_same) < 0.05, (r_mirror, r_same)
