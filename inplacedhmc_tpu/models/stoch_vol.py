@@ -26,6 +26,10 @@ from .base import Model
 
 def synthetic_returns(key, n_steps: int = 1000, phi: float = 0.98,
                       s: float = 0.15, dtype=jnp.float32):
+    """Draw ``r_1..r_T`` from the documented model: stationary init
+    ``h_1 ~ N(0, s^2/(1-phi^2))`` (``eps[0]`` has sd ``s``, so dividing by
+    ``sqrt(1-phi^2)`` gives exactly the stationary sd), innovations
+    ``h_t = phi h_{t-1} + s eps_t`` for ``t >= 2``."""
     kh, kr = jax.random.split(key)
     eps = jax.random.normal(kh, (n_steps,), dtype) * s
 
@@ -33,10 +37,25 @@ def synthetic_returns(key, n_steps: int = 1000, phi: float = 0.98,
         h2 = phi * h + e
         return h2, h2
 
-    h0 = eps[0] / jnp.sqrt(1.0 - phi * phi) / s if s else 0.0
-    _, h = jax.lax.scan(step, jnp.asarray(h0, dtype), eps)
+    h1 = eps[0] / jnp.sqrt(1.0 - phi * phi)
+    _, rest = jax.lax.scan(step, h1, eps[1:])
+    h = jnp.concatenate([h1[None], rest])
     r = jax.random.normal(kr, (n_steps,), dtype) * jnp.exp(0.5 * h)
     return r
+
+
+def _theta_prior(raw_phi, log_s):
+    """Hyperparameter priors: raw_phi ~ N(1.5, 1), log_s ~ N(-2, 1) — the
+    single definition shared by the centered density, the tile physics and
+    the ASIS ancillary density (three hand-synced copies invite silent
+    divergence)."""
+    return -0.5 * (raw_phi - 1.5) ** 2 - 0.5 * (log_s + 2.0) ** 2
+
+
+def _obs_term(h, r2):
+    """Per-latent observation log density (up to constants):
+    ``r_t | h_t ~ N(0, exp(h_t))``."""
+    return -0.5 * (h + r2 * jnp.exp(-h))
 
 
 def _make_tile_logp(t: int):
@@ -56,7 +75,7 @@ def _make_tile_logp(t: int):
         log_s = q[:, 1:2]
         phi = jnp.tanh(raw_phi)
         inv_s = jnp.exp(-log_s)
-        lp = -0.5 * (raw_phi - 1.5) ** 2 - 0.5 * (log_s + 2.0) ** 2
+        lp = _theta_prior(raw_phi, log_s)
         one_m_phi2 = 1.0 - phi * phi
         lp += 0.5 * jnp.log(one_m_phi2) - tf * log_s
         h0 = q[:, 2:3]
@@ -65,8 +84,7 @@ def _make_tile_logp(t: int):
         hprev = jnp.roll(h, 1, axis=1)   # lane l now holds h at lane l-1
         innov = (q - phi * hprev) * am * inv_s
         lp += -0.5 * jnp.sum(innov * innov, axis=1, keepdims=True)
-        lp += jnp.sum(hm * (-0.5) * (q + r2 * jnp.exp(-h)),
-                      axis=1, keepdims=True)
+        lp += jnp.sum(hm * _obs_term(h, r2), axis=1, keepdims=True)
         return lp
 
     return tile_logp
@@ -91,34 +109,42 @@ def _tile_structure(returns):
             "data": {"r2": r2, "h_mask": hm, "ar_mask": am}}
 
 
-def stoch_vol(returns) -> Model:
+def _centered_logp(returns):
+    """The centered log density ``q = (arctanh phi, log s, h_1..h_T)`` as a
+    standalone closure (the ASIS hook needs only this, not a full ``Model``
+    with its tile-structure arrays)."""
     returns = jnp.asarray(returns)
     t = returns.shape[0]
-    dim = 2 + t
 
     def logp(q):
         raw_phi, log_s, h = q[0], q[1], q[2:]
         phi = jnp.tanh(raw_phi)              # phi in (-1, 1)
         s = jnp.exp(log_s)
         r = jnp.asarray(returns, q.dtype)
-        # priors: raw_phi ~ N(1.5, 1), log_s ~ N(-2, 1)
-        lp = -0.5 * (raw_phi - 1.5) ** 2 - 0.5 * (log_s + 2.0) ** 2
+        lp = _theta_prior(raw_phi, log_s)
         # AR(1) prior on h with innovation sd s, stationary init
         one_m_phi2 = 1.0 - phi * phi
         lp += 0.5 * jnp.log(one_m_phi2) - jnp.asarray(t, q.dtype) * log_s
         lp += -0.5 * one_m_phi2 * (h[0] / s) ** 2
         innov = (h[1:] - phi * h[:-1]) / s
         lp += -0.5 * jnp.sum(innov * innov)
-        # observation model
-        lp += jnp.sum(-0.5 * (h + r * r * jnp.exp(-h)))
+        lp += jnp.sum(_obs_term(h, r * r))
         return lp
+
+    return logp
+
+
+def stoch_vol(returns) -> Model:
+    returns = jnp.asarray(returns)
+    t = returns.shape[0]
+    dim = 2 + t
 
     def constrain(q):
         raw_phi, log_s, h = q[..., 0], q[..., 1], q[..., 2:]
         return {"phi": jnp.tanh(raw_phi), "s": jnp.exp(log_s), "h": h}
 
-    return Model(name=f"stoch_vol_{t}", dim=dim, logp=logp, constrain=constrain,
-                 structure=_tile_structure(returns))
+    return Model(name=f"stoch_vol_{t}", dim=dim, logp=_centered_logp(returns),
+                 constrain=constrain, structure=_tile_structure(returns))
 
 
 def _whiten(raw_phi, log_s, h):
@@ -134,11 +160,14 @@ def _whiten(raw_phi, log_s, h):
 def _reconstruct(raw_phi, log_s, eps):
     """Innovations -> centered latents via the linear recurrence
     ``h_t = phi h_{t-1} + s eps_t`` as an O(log T) ``associative_scan``
-    (affine-map composition) — TPU-friendly, differentiable."""
+    (affine-map composition) — TPU-friendly, differentiable.  ``1 - phi^2``
+    is floored: f32 ``tanh`` saturates to exactly 1 around ``|raw_phi| > 9``
+    and the resulting 0/0 would seed NaN latents."""
     phi = jnp.tanh(raw_phi)[..., None]
     s = jnp.exp(log_s)[..., None]
     b = s * eps
-    b = b.at[..., 0].set(b[..., 0] / jnp.sqrt(1.0 - phi[..., 0] * phi[..., 0]))
+    one_m_phi2 = jnp.maximum(1.0 - phi[..., 0] * phi[..., 0], 1e-12)
+    b = b.at[..., 0].set(b[..., 0] / jnp.sqrt(one_m_phi2))
     a = jnp.broadcast_to(phi, eps.shape)
     a = a.at[..., 0].set(0.0)
 
@@ -147,6 +176,26 @@ def _reconstruct(raw_phi, log_s, eps):
 
     _, h = jax.lax.associative_scan(combine, (a, b), axis=-1)
     return h
+
+
+def _make_anc_logp(returns):
+    """Ancillary MH target: ``[C, 2], [C, T] -> [C]``, prior(theta) +
+    observation terms of the reconstructed latents.  The full posterior in
+    ``(theta, eps)`` coordinates is this plus the theta-independent
+    ``-0.5||eps||^2`` (the Jacobian ``s^T/sqrt(1-phi^2)`` cancels the AR
+    normalization exactly — identity A/B-tested in tests/test_stoch_vol.py),
+    so that term drops from MH ratios."""
+    import numpy as _np
+    r2_const = _np.asarray(returns, _np.float64) ** 2
+
+    def anc_logp(theta, eps):
+        raw_phi, log_s = theta[..., 0], theta[..., 1]
+        h = _reconstruct(raw_phi, log_s, eps)
+        r2 = jnp.asarray(r2_const, h.dtype)
+        lp = _theta_prior(raw_phi, log_s)
+        return lp + jnp.sum(_obs_term(h, r2), axis=-1)
+
+    return anc_logp
 
 
 def make_asis_hook(returns, *, scale=(0.06, 0.1), n_steps: int = 3,
@@ -172,22 +221,9 @@ def make_asis_hook(returns, *, scale=(0.06, 0.1), n_steps: int = 3,
     from ..core.state import EvalPoint
 
     returns = jnp.asarray(returns)
-    model = stoch_vol(returns)
     pot = potential if potential is not None else \
-        batched_logdensity_and_grad(model.logp)
-    import numpy as _np
-    r2_const = _np.asarray(returns, _np.float64) ** 2
-
-    def anc_logp(theta, eps):
-        """[C, 2], [C, T] -> [C]: prior(theta) + observation terms of the
-        reconstructed latents (the -0.5||eps||^2 term is theta-independent
-        and drops from MH ratios)."""
-        raw_phi, log_s = theta[..., 0], theta[..., 1]
-        h = _reconstruct(raw_phi, log_s, eps)
-        r2 = jnp.asarray(r2_const, h.dtype)
-        lp = -0.5 * (raw_phi - 1.5) ** 2 - 0.5 * (log_s + 2.0) ** 2
-        return lp + jnp.sum(-0.5 * (h + r2 * jnp.exp(-h)), axis=-1)
-
+        batched_logdensity_and_grad(_centered_logp(returns))
+    anc_logp = _make_anc_logp(returns)
     sc = jnp.asarray(scale)
 
     def hook(key, z):
@@ -199,7 +235,7 @@ def make_asis_hook(returns, *, scale=(0.06, 0.1), n_steps: int = 3,
         lp = anc_logp(theta, eps)
 
         def mh(carry, k):
-            theta, lp = carry
+            theta, lp, moved = carry
             kp, ku = jax.random.split(k)
             prop = theta + sc.astype(dtype) * \
                 jax.random.normal(kp, theta.shape, dtype)
@@ -208,13 +244,21 @@ def make_asis_hook(returns, *, scale=(0.06, 0.1), n_steps: int = 3,
                 < (lp_p - lp)
             theta = jnp.where(accept[..., None], prop, theta)
             lp = jnp.where(accept, lp_p, lp)
-            return (theta, lp), None
+            return (theta, lp, moved | accept), None
 
-        (theta, _), _ = jax.lax.scan(mh, (theta, lp),
-                                     jax.random.split(key, n_steps))
+        moved0 = jnp.zeros(lp.shape, bool)
+        (theta, _, moved), _ = jax.lax.scan(mh, (theta, lp, moved0),
+                                            jax.random.split(key, n_steps))
+        # chains whose every proposal was rejected keep their EXACT state:
+        # the whiten->reconstruct roundtrip would otherwise perturb h by f32
+        # rounding every transition (and a non-finite ancillary density —
+        # e.g. saturated tanh — must not leak NaN latents into the chain)
         h_new = _reconstruct(theta[..., 0], theta[..., 1], eps)
         q_new = jnp.concatenate([theta, h_new], axis=-1)
+        q_new = jnp.where(moved[..., None], q_new, q)
         logp_new, grad_new = pot(q_new)
+        logp_new = jnp.where(moved, logp_new, z.logp)
+        grad_new = jnp.where(moved[..., None], grad_new, z.grad)
         return EvalPoint(q=q_new, logp=logp_new, grad=grad_new)
 
     return hook

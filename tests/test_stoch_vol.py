@@ -136,7 +136,11 @@ def test_asis_interleaving_preserves_posterior():
     from inplacedhmc_tpu.sample import mcmc_with_warmup
     from inplacedhmc_tpu.config import DualAveraging, default_warmup_stages
 
-    r = synthetic_returns(jax.random.PRNGKey(0), 32, phi=0.95, s=0.25)
+    # phi=0.8: the hyperparameters mix fast enough that BOTH samplers
+    # converge within the budget — at phi~0.95 plain NUTS's log_s mean is
+    # still biased toward its init after 500 draws (the pathology ASIS
+    # exists to fix), which is a mixing difference, not an invariance one
+    r = synthetic_returns(jax.random.PRNGKey(0), 32, phi=0.8, s=0.25)
     model = stoch_vol(r)
     stages = default_warmup_stages(
         stepsize_adaptation=DualAveraging(delta=0.9), init_steps=30,
@@ -151,9 +155,62 @@ def test_asis_interleaving_preserves_posterior():
     assert np.isfinite(d1).all()
     # theta moved between ASIS and plain (the hook is not a no-op)
     assert np.abs(d1[..., 0] - d0[..., 0]).max() > 1e-4
-    for idx, tol in [(0, 0.25), (1, 0.2)]:
+    # raw_phi mixes well in both samplers: tight agreement expected.
+    # log_s is the coordinate plain NUTS mixes WORST (tau ~400 here, ESS
+    # ~40 of 16k draws — the pathology ASIS exists to fix), so its plain
+    # mean carries large init-dependent MC error; the tolerance reflects
+    # that (several plain-side MC standard errors with tau margin).  The
+    # sharp invariance evidence is test_ancillary_identity_exact + the
+    # whiten/reconstruct roundtrip, which pin the MH target exactly.
+    for idx, tol in [(0, 0.15), (1, 0.6)]:
         m0, m1 = d0[..., idx].mean(), d1[..., idx].mean()
         assert abs(m0 - m1) < tol, (idx, m0, m1)
-    # latent posterior agrees too
+    # latent posterior agrees too (observed ~0.04)
     np.testing.assert_allclose(d1[..., 2:].mean((0, 1)),
                                d0[..., 2:].mean((0, 1)), atol=0.35)
+
+
+def test_ancillary_identity_exact():
+    """The ASIS ancillary density obeys the exact change-of-variables
+    identity  logp(q) = anc(theta, eps) - 0.5||eps||^2 - T log_s
+    + 0.5 log(1 - phi^2)  (the Jacobian s^T/sqrt(1-phi^2) cancels the AR
+    normalization) — pins anc_logp to the centered density so the two can
+    never silently diverge."""
+    from inplacedhmc_tpu.models.stoch_vol import (_centered_logp,
+                                                  _make_anc_logp, _whiten,
+                                                  synthetic_returns)
+
+    r = synthetic_returns(jax.random.PRNGKey(0), 64, dtype=jnp.float64)
+    logp = _centered_logp(r)
+    anc = _make_anc_logp(r)
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(np.concatenate([
+        rng.normal(1.0, 0.5, size=(4, 1)),   # raw_phi
+        rng.normal(-2.0, 0.3, size=(4, 1)),  # log_s
+        rng.normal(0.0, 0.5, size=(4, 64))], axis=1))
+    theta, h = q[:, :2], q[:, 2:]
+    eps = _whiten(theta[:, 0], theta[:, 1], h)
+    phi = jnp.tanh(theta[:, 0])
+    ident = (anc(theta, eps) - 0.5 * jnp.sum(eps * eps, axis=-1)
+             - 64.0 * theta[:, 1] + 0.5 * jnp.log(1.0 - phi * phi))
+    direct = jax.vmap(logp)(q)
+    np.testing.assert_allclose(np.asarray(ident), np.asarray(direct),
+                               rtol=1e-10)
+
+
+def test_synthetic_returns_stationary_init():
+    """h_1 must have the stationary sd s/sqrt(1-phi^2), not 1/sqrt(1-phi^2):
+    the old generator's init was 1/s too large (sd ~5 instead of ~0.75 at the
+    defaults), giving every synthetic series an off-model volatility
+    transient."""
+    from inplacedhmc_tpu.models.stoch_vol import synthetic_returns
+    phi, s = 0.9, 0.2
+    keys = jax.random.split(jax.random.PRNGKey(7), 400)
+    r1 = np.asarray(jax.vmap(
+        lambda k: synthetic_returns(k, 8, phi, s, jnp.float64)[0])(keys))
+    # Var(r_1) = E[exp(h_1)] = exp(sigma_h^2 / 2), sigma_h = s/sqrt(1-phi^2)
+    sig_h2 = s * s / (1.0 - phi * phi)
+    expected_sd = np.sqrt(np.exp(sig_h2 / 2.0))
+    assert abs(np.std(r1) - expected_sd) < 0.2 * expected_sd
+    # the buggy generator's sigma_h was 1/sqrt(1-phi^2) ~ 2.3: Var(r_1)
+    # = exp(2.63) -> sd 3.7, far outside the tolerance above
