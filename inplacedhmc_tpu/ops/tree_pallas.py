@@ -91,7 +91,6 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
     stores), ``"proposal"`` (progressive proposal sampling), ``"stats"``
     (visited statistics + failure records).
     """
-    md1 = max_depth + 1
     nbits = max(1, max_depth - 1)
 
     def _popcount(x):
@@ -133,7 +132,11 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
          ckpt_s, ckpt_ps, colf, coli) = rest[n_data:]
         i = pl.program_id(0)
         if use_prng:
-            pltpu.prng_seed(seed_ref[0] + i)
+            # two independent 32-bit words from the transition key + the tile
+            # index: a single 31-bit word would birthday-collide across long
+            # runs (~10^6 (transition, tile) pairs), replaying identical
+            # proposal-uniform streams in distinct transitions
+            pltpu.prng_seed(seed_ref[0], seed_ref[1] + i)
 
         if dense:
             minv_mat = minv_ref[:]  # [dpad, dpad]
@@ -219,7 +222,17 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 p_new = p_mid + half * g_new
                 ps_new = psharp(p_new)
                 kin_new = 0.5 * jnp.sum(p_new * ps_new, axis=1, keepdims=True)
-                delta = (logp_new - kin_new) - getf(PI0)
+                # ANY non-finite joint density maps to -inf (= recorded
+                # divergence) — the exact guard structure of the XLA tree
+                # (nuts/tree.py:264-267) and kinetic_energy.jl:107-112.  An
+                # isnan-only guard on delta would let delta = +inf (e.g.
+                # kin -> -inf by overflow under a dense metric, or a
+                # tile_logp pole) poison OMEGA for the rest of the
+                # transition instead of recording DIVERGENCE.
+                joint = logp_new - jnp.where(jnp.isfinite(kin_new), kin_new,
+                                             jnp.inf)
+                joint = jnp.where(jnp.isfinite(joint), joint, neg_inf)
+                delta = joint - getf(PI0)
                 delta = jnp.where(jnp.isnan(delta), neg_inf, delta)
                 divergent = delta < min_delta
                 # NaN containment: a non-finite model gradient (e.g. exp
@@ -521,6 +534,22 @@ def _build_transition_padded(physics, data_arrays, max_depth: int,
 
 
 _RUN_CACHE: dict = {}
+_CACHE_CAP = 16
+
+
+def _cache_get(cache: dict, key, builder):
+    """Insertion-ordered LRU with a small cap: these module caches exist so a
+    metric re-estimate between warmup windows reuses the compiled kernel —
+    not to retain every (physics, shape, config) runner a parameter sweep
+    ever builds for the process lifetime."""
+    if key in cache:
+        cache[key] = cache.pop(key)  # refresh recency
+        return cache[key]
+    if len(cache) >= _CACHE_CAP:
+        cache.pop(next(iter(cache)))
+    val = builder()
+    cache[key] = val
+    return val
 
 
 def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
@@ -598,9 +627,8 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
                  tuple(a.shape for a in padded),
                  dim, max_depth, float(min_delta), block_c, interpret,
                  dense, ckpt_bf16, _ablate)
-    if cache_key in _RUN_CACHE:
-        run = _RUN_CACHE[cache_key]
-    else:
+
+    def _build_run():
         def physics(q, data_refs):
             refs = {name: data_refs[k] for k, name in enumerate(names)}
             mask = data_refs[-1][0:1, :]
@@ -616,11 +644,12 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
             grad = vjp_fn(jnp.ones_like(logp))[0] * mask
             return logp, grad
 
-        run = _build_transition_padded(physics, padded + (lane_mask,),
-                                       max_depth, min_delta, block_c, interpret,
-                                       dense=dense, ckpt_bf16=ckpt_bf16,
-                                       ablate=_ablate)
-        _RUN_CACHE[cache_key] = run
+        return _build_transition_padded(physics, padded + (lane_mask,),
+                                        max_depth, min_delta, block_c,
+                                        interpret, dense=dense,
+                                        ckpt_bf16=ckpt_bf16, ablate=_ablate)
+
+    run = _cache_get(_RUN_CACHE, cache_key, _build_run)
 
     def transition(key, z, eps, *, directions=None, momentum=None):
         c = z.q.shape[0]
@@ -636,7 +665,7 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
             momentum = xi @ mass_chol.T if dense else sqrt_mass * xi
         if directions is None:
             directions = jax.random.bits(k_dir, (c,), jnp.uint32)
-        seed = jax.random.randint(k_seed, (1,), 0, 2**31 - 1, jnp.int32)
+        seed = jax.random.bits(k_seed, (2,), jnp.uint32).astype(jnp.int32)
         if interpret:
             n_unif = (1 << max_depth) - 1 + max_depth
             unif = jax.random.uniform(k_seed, (n_unif, cpad), jnp.float32)
@@ -736,7 +765,7 @@ def make_logistic_tree_transition(x, y, inv_var, metric_inv, *,
 
     if physics_mode == "vjp":
         key = (pk, "vjp")
-        if key not in _LOGISTIC_TILE_CACHE:
+        def _build_vjp_tile():
             def tile_logp(q, refs):
                 xt = refs["xt"][:]            # [dpad, npad]
                 yrow = refs["yobs"][0:1, :]   # [1, npad]
@@ -747,8 +776,10 @@ def make_logistic_tree_transition(x, y, inv_var, metric_inv, *,
                              axis=1, keepdims=True)
                 return ll - 0.5 * pk * jnp.sum(q * q, axis=1, keepdims=True)
 
-            _LOGISTIC_TILE_CACHE[key] = (tile_logp, None)
-        tile_logp, tile_vg = _LOGISTIC_TILE_CACHE[key]
+            return tile_logp, None
+
+        tile_logp, tile_vg = _cache_get(_LOGISTIC_TILE_CACHE, key,
+                                        _build_vjp_tile)
         # Xᵀ rows must align with the q tile's padded lane count (the generic
         # padder only rounds to (8, 128) tiles)
         xt = jnp.zeros((dpad, n_obs), jnp.float32).at[:d, :].set(x.T)
@@ -756,7 +787,7 @@ def make_logistic_tree_transition(x, y, inv_var, metric_inv, *,
                 "obsmask": jnp.ones((n_obs,), jnp.float32)}
     elif physics_mode == "chunked":
         key = (pk, "chunked", bool(grad_bf16), int(block_n))
-        if key not in _LOGISTIC_TILE_CACHE:
+        def _build_chunked_tile():
             bn = int(block_n)
             bf16 = bool(grad_bf16)
 
@@ -807,8 +838,10 @@ def make_logistic_tree_transition(x, y, inv_var, metric_inv, *,
                         preferred_element_type=jnp.float32)
                 return logp, grad
 
-            _LOGISTIC_TILE_CACHE[key] = (tile_logp, tile_vg)
-        tile_logp, tile_vg = _LOGISTIC_TILE_CACHE[key]
+            return tile_logp, tile_vg
+
+        tile_logp, tile_vg = _cache_get(_LOGISTIC_TILE_CACHE, key,
+                                        _build_chunked_tile)
         npad = _round_up(n_obs, block_n)
         xo = jnp.zeros((npad, dpad), jnp.float32).at[:n_obs, :d].set(x)
         yw = jnp.zeros((2, npad), jnp.float32)
