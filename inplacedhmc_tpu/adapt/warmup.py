@@ -207,6 +207,30 @@ def _metric_from_moments(stage: TuningNUTS, mom: StreamMoments,
     return low_rank_metric_from_cov(cov, cnt, stage.lam_value, stage.rank)
 
 
+
+def _one_transition(k, z, eps, *, metric, potential, algorithm,
+                    fused_trans, fused_step, post_step):
+    """One NUTS transition + the optional ``post_step`` hook — the single
+    definition shared by tuning, chunked-tuning and sampling loops.  The hook
+    key is PRE-SPLIT from the step key rather than ``fold_in(k, const)``:
+    under ``shard_map`` each device's transition key is
+    ``fold_in(k, axis_index)``, so a small constant would collide bitwise
+    with one device's key and correlate that shard's NUTS randomness with
+    the hook's."""
+    if post_step is not None:
+        k, k_hook = jax.random.split(k)
+    if fused_trans is not None:
+        z2, stats = fused_trans(k, z, eps)
+    else:
+        z2, stats = nuts_transition(k, potential, metric, z, eps,
+                                    max_depth=algorithm.max_depth,
+                                    min_delta=algorithm.min_delta,
+                                    step_fn=fused_step)
+    if post_step is not None:
+        z2 = post_step(k_hook, z2)
+    return z2, stats
+
+
 def run_tuning(key, potential: Callable, stage: TuningNUTS, algorithm: NUTS,
                state: WarmupState, pooled: bool = False,
                axis_name: Optional[str] = None,
@@ -236,15 +260,10 @@ def run_tuning(key, potential: Callable, stage: TuningNUTS, algorithm: NUTS,
     def step(carry, k):
         z, da, mom = carry
         eps = da_current_eps(da) if adapting else eps0
-        if fused_trans is not None:
-            z2, stats = fused_trans(k, z, eps)
-        else:
-            z2, stats = nuts_transition(k, potential, state.metric, z, eps,
-                                        max_depth=algorithm.max_depth,
-                                        min_delta=algorithm.min_delta,
-                                        step_fn=fused_step)
-        if post_step is not None:
-            z2 = post_step(jax.random.fold_in(k, 1), z2)
+        z2, stats = _one_transition(
+            k, z, eps, metric=state.metric, potential=potential,
+            algorithm=algorithm, fused_trans=fused_trans,
+            fused_step=fused_step, post_step=post_step)
         if adapting:
             a = stats.acceptance_rate
             if pooled:
@@ -315,15 +334,10 @@ def run_tuning_chunk(key, potential: Callable, stage: TuningNUTS,
     def step(carry, k):
         z, da, mom = carry
         eps = da_current_eps(da) if adapting else eps0
-        if fused_trans is not None:
-            z2, stats = fused_trans(k, z, eps)
-        else:
-            z2, stats = nuts_transition(k, potential, state.metric, z, eps,
-                                        max_depth=algorithm.max_depth,
-                                        min_delta=algorithm.min_delta,
-                                        step_fn=fused_step)
-        if post_step is not None:
-            z2 = post_step(jax.random.fold_in(k, 1), z2)
+        z2, stats = _one_transition(
+            k, z, eps, metric=state.metric, potential=potential,
+            algorithm=algorithm, fused_trans=fused_trans,
+            fused_step=fused_step, post_step=post_step)
         if adapting:
             a = stats.acceptance_rate
             if pooled:
@@ -433,15 +447,10 @@ def run_sampling(key, potential: Callable, algorithm: NUTS, state: WarmupState,
     kd = None if keep_dims is None else jnp.asarray(keep_dims, jnp.int32)
 
     def one(z, k):
-        if fused_trans is not None:
-            z2, stats = fused_trans(k, z, eps)
-        else:
-            z2, stats = nuts_transition(k, potential, state.metric, z, eps,
-                                        max_depth=algorithm.max_depth,
-                                        min_delta=algorithm.min_delta,
-                                        step_fn=fused_step)
-        if post_step is not None:
-            z2 = post_step(jax.random.fold_in(k, 1), z2)
+        z2, stats = _one_transition(
+            k, z, eps, metric=state.metric, potential=potential,
+            algorithm=algorithm, fused_trans=fused_trans,
+            fused_step=fused_step, post_step=post_step)
         return z2, stats
 
     def step(carry, xs):

@@ -149,10 +149,15 @@ def stoch_vol(returns) -> Model:
 
 def _whiten(raw_phi, log_s, h):
     """Centered latents -> AR(1) innovations: ``eps_1 = h_1 sqrt(1-phi^2)/s``,
-    ``eps_t = (h_t - phi h_{t-1})/s``.  Batched: leading axes broadcast."""
+    ``eps_t = (h_t - phi h_{t-1})/s``.  Batched: leading axes broadcast.
+    ``1 - phi^2`` is floored with the SAME constant as :func:`_reconstruct`,
+    so the whiten->reconstruct roundtrip stays exact even where f32 ``tanh``
+    saturates to 1 (an unfloored whiten would collapse ``eps_1`` to 0 there
+    and an accepted ASIS move would silently teleport ``h_1``)."""
     phi = jnp.tanh(raw_phi)[..., None]
     inv_s = jnp.exp(-log_s)[..., None]
-    e1 = h[..., :1] * jnp.sqrt(1.0 - phi * phi) * inv_s
+    one_m_phi2 = jnp.maximum(1.0 - phi * phi, 1e-12)
+    e1 = h[..., :1] * jnp.sqrt(one_m_phi2) * inv_s
     rest = (h[..., 1:] - phi * h[..., :-1]) * inv_s
     return jnp.concatenate([e1, rest], axis=-1)
 

@@ -150,7 +150,7 @@ def run_sharded(key, model, n_draws: int, n_chains: int, *, mesh: Mesh,
                 collect_sketch=None, store_draws: bool = True,
                 sync_blocks: bool = False,
                 checkpoint_throttle_s: float = 0.0,
-                fused_opts=None, tree_opts=None):
+                fused_opts=None, tree_opts=None, post_step=None):
     """Full warmup + sampling with chains sharded over ``mesh`` — same driver
     surface as the single-device path (``thin``, ``draw_block``,
     checkpointing; the reference's multi-chain driver has the full surface of
@@ -181,7 +181,8 @@ def run_sharded(key, model, n_draws: int, n_chains: int, *, mesh: Mesh,
 
     kern = _kernel(model, algorithm, True, None, use_pallas=use_pallas,
                    shard_mesh=mesh, shard_axis=axis_name,
-                   fused_opts=fused_opts, tree_opts=tree_opts)
+                   fused_opts=fused_opts, tree_opts=tree_opts,
+                   post_step=post_step)
     with mesh:
         return kern.run(key, n_draws, n_chains, warmup_stages=warmup_stages,
                         dtype=dtype, reporter=reporter, thin=thin,

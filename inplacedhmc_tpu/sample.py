@@ -665,15 +665,11 @@ def _kernel(model: Model, algorithm: NUTS, pooled: bool,
     key = (model, algorithm, pooled, axis_name, use_pallas, shard_mesh,
            shard_axis, tuple(sorted((fused_opts or {}).items())),
            tuple(sorted((tree_opts or {}).items())), post_step)
-    if key not in _KERNEL_CACHE:
-        _KERNEL_CACHE[key] = NUTSKernel(model, algorithm, pooled, axis_name,
-                                        use_pallas=use_pallas,
-                                        shard_mesh=shard_mesh,
-                                        shard_axis=shard_axis,
-                                        fused_opts=fused_opts,
-                                        tree_opts=tree_opts,
-                                        post_step=post_step)
-    return _KERNEL_CACHE[key]
+    from .ops.tree_pallas import _cache_get
+    return _cache_get(_KERNEL_CACHE, key, lambda: NUTSKernel(
+        model, algorithm, pooled, axis_name, use_pallas=use_pallas,
+        shard_mesh=shard_mesh, shard_axis=shard_axis, fused_opts=fused_opts,
+        tree_opts=tree_opts, post_step=post_step))
 
 
 def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
