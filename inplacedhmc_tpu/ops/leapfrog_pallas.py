@@ -10,9 +10,11 @@ one whole velocity-Verlet step
     logp' = -0.5 * sum(Lambda * q'^2)
     kin'  = 0.5 * sum(Minv * p'^2)
 
-fuses into a single VMEM pass: two [C, D] reads (q, p), three [C, D]-ish
-writes (q', p', grad') plus two [C, 1] reductions.  The jnp reference path
-costs ~2x the HBM traffic across multiple XLA kernels; the reference's
+fuses into a single VMEM pass: two [C, D] reads (q, p) and four [C, D]
+writes (q', p', grad', p♯') plus two [C, 1] reductions — 6 [C, D] arrays of
+HBM traffic per step, the figure the roofline harness
+(benchmarks/roofline.py) and the kernel's own cost_estimate use.  The jnp
+reference path costs ~2x that across multiple XLA kernels; the reference's
 equivalent was the hand-written ``@avx`` loop at ``kinetic_energy.jl:126-163``.
 
 The gradient output is ``-Lambda q'`` (recomputed, not stored between steps),
@@ -29,9 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from .common import chain_tiles
+from .common import round_up as _round_up
 
 
 def _kernel(q_ref, p_ref, eps_ref, lam_ref, minv_ref,
@@ -131,9 +132,15 @@ def multi_step_leapfrog(q, p, eps, lam, minv, k_steps: int,
                         block_c: int = 1024, interpret: bool = False):
     """Run ``k_steps`` dependent leapfrog steps in one kernel launch.
     ``q``/``p``: [C, D] (lane-padded), ``eps``: [C, 1] signed, ``lam``/
-    ``minv``: [1, D].  Returns ``(q', p')``."""
+    ``minv``: [1, D].  Returns ``(q', p')``.  The chain count must tile
+    evenly into ``block_c`` blocks — a truncating grid would silently skip
+    the remainder rows and return garbage for those chains."""
     cpad, dpad = q.shape
     bc = min(block_c, cpad)
+    if cpad % bc:
+        raise ValueError(
+            f"chain count {cpad} does not tile into blocks of {bc}; pad the "
+            f"batch (see ops.common.chain_tiles) or pass a dividing block_c")
     grid = (cpad // bc,)
     vec = pl.BlockSpec((bc, dpad), lambda i: (i, 0), memory_space=pltpu.VMEM)
     col = pl.BlockSpec((bc, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -162,6 +169,12 @@ def make_fused_gaussian_leapfrog(precision, metric_inv, block_c: int = 512,
     with
     ``q/p``: [C, D], ``eps_signed``: [C].  ``metric_inv`` is the diagonal
     ``M^-1`` ([D]); rebuild the closure when the metric adapts.
+
+    Note: each call pads inputs and slices outputs (the XLA tree carries
+    unpadded arrays), which adds real copies around the fused pass — the
+    whole-tree kernel (ops/tree_pallas.py) pads once per transition and is
+    the launch-free formulation; this step kernel is the fallback for the
+    XLA tree path.
     """
     precision = jnp.asarray(precision, jnp.float32)
     d = precision.shape[0]
@@ -172,9 +185,7 @@ def make_fused_gaussian_leapfrog(precision, metric_inv, block_c: int = 512,
 
     def step(q, p, eps_signed):
         c = q.shape[0]
-        cpad = _round_up(max(c, 8), min(block_c, _round_up(c, 8)))
-        bc = min(block_c, cpad)
-        cpad = _round_up(cpad, bc)
+        cpad, bc = chain_tiles(c, block_c)
         qp = jnp.zeros((cpad, dpad), jnp.float32).at[:c, :d].set(q)
         pp = jnp.zeros((cpad, dpad), jnp.float32).at[:c, :d].set(p)
         ep = jnp.zeros((cpad, 1), jnp.float32).at[:c, 0].set(eps_signed)

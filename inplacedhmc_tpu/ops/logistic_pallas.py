@@ -28,9 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from .common import chain_tiles
+from .common import round_up as _round_up
 
 
 def _make_fused_kernel(grad_bf16: bool):
@@ -152,8 +151,7 @@ def make_logistic_potential(x, y, inv_var: float,
     def potential(q):
         c, dq = q.shape
         assert dq == d, f"dim mismatch: {dq} != {d}"
-        cpad = _round_up(max(c, 8), block_c) if c >= block_c else _round_up(c, 8)
-        bc = min(block_c, cpad)
+        cpad, bc = chain_tiles(c, block_c)
         q_p = jnp.zeros((cpad, dpad), jnp.float32).at[:c, :d].set(
             q.astype(jnp.float32))
         logp, grad = _logistic_value_and_grad_padded(q_p, x_p, yw, s2, bc,

@@ -46,9 +46,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from .common import chain_tiles
+from .common import round_up as _round_up
 
 
 # float column indices in the colf [BC, 16] scratch
@@ -654,9 +653,7 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
     def transition(key, z, eps, *, directions=None, momentum=None):
         c = z.q.shape[0]
         assert z.q.shape[1] == dim
-        cpad = _round_up(max(c, 8), min(block_c, _round_up(c, 8)))
-        bc = min(block_c, cpad)
-        cpad = _round_up(cpad, bc)
+        cpad, bc = chain_tiles(c, block_c)
         assert bc == block_c or cpad == bc, "n_chains must fill the tile"
 
         key, k_p, k_dir, k_seed = jax.random.split(key, 4)
