@@ -124,7 +124,6 @@ def split_rhat(draws: jnp.ndarray) -> jnp.ndarray:
     n, c, d = draws.shape
     half = n // 2
     x = jnp.concatenate([draws[:half], draws[half:2 * half]], axis=1)  # [half, 2C, D]
-    m = x.shape[1]
     chain_mean = jnp.mean(x, axis=0)              # [2C, D]
     chain_var = jnp.var(x, axis=0, ddof=1)        # [2C, D]
     w = jnp.mean(chain_var, axis=0)               # [D]
@@ -144,16 +143,22 @@ def split_rhat_from_moments(mom) -> jnp.ndarray:
     cancels exactly in both the within-half variances and the between-half
     variance of the means (R̂ is translation-invariant per coordinate only —
     per-CHAIN centers would not cancel — so ``qref`` enters the means)."""
-    cnt = mom.cnt[:, None, None]                       # [2, 1, 1]
+    cnt = jnp.maximum(mom.cnt, 2.0)[:, None, None]     # [2, 1, 1]
     mean = mom.qref[None] + mom.s1 / cnt               # [2, C, D]
     var = (mom.s2 - mom.s1 * mom.s1 / cnt) / (cnt - 1.0)
     var = jnp.maximum(var, 0.0)
-    half = mom.cnt[0]
+    # halves may differ by one draw (odd totals assign the extra draw to the
+    # second half): use the mean half length, the same convention as the
+    # histogram-sketch estimator (sketch._split_rhat_of_z)
+    nbar = jnp.mean(jnp.maximum(mom.cnt, 2.0))
     means = mean.reshape(-1, mean.shape[-1])           # [2C, D]
     w = jnp.mean(var.reshape(-1, var.shape[-1]), axis=0)
-    b = half * jnp.var(means, axis=0, ddof=1)
-    var_plus = (half - 1.0) / half * w + b / half
-    return jnp.sqrt(var_plus / w)
+    b = nbar * jnp.var(means, axis=0, ddof=1)
+    var_plus = (nbar - 1.0) / nbar * w + b / nbar
+    rhat = jnp.sqrt(var_plus / w)
+    # a mid-run state (checkpoint before the halfway point) has an empty
+    # second half: report NaN explicitly instead of 0/0 garbage
+    return jnp.where(mom.cnt[1] > 1.0, rhat, jnp.nan)
 
 
 def _autocov_fft(x: jnp.ndarray) -> jnp.ndarray:
@@ -166,7 +171,23 @@ def _autocov_fft(x: jnp.ndarray) -> jnp.ndarray:
     return acov / n
 
 
-def ess_bulk(draws: jnp.ndarray, cap: bool = True) -> jnp.ndarray:
+def _geyer_tau(rho: jnp.ndarray) -> jnp.ndarray:
+    """Integrated autocorrelation time from combined autocorrelations
+    ``rho`` [L, D]: Geyer pair sums truncated at the first non-positive pair
+    and enforced non-increasing (the initial monotone sequence) — the single
+    definition shared by the local and sharded estimators."""
+    l, d = rho.shape
+    n_pairs = l // 2
+    p = rho[: 2 * n_pairs].reshape(n_pairs, 2, d).sum(axis=1)
+    pos = jnp.cumprod(p > 0, axis=0).astype(bool)
+    p = jnp.where(pos, p, 0.0)
+    p = jax.lax.cummin(p, axis=0)
+    p = jnp.maximum(p, 0.0)
+    return jnp.maximum(-1.0 + 2.0 * jnp.sum(p, axis=0), 1e-8)
+
+
+def ess_bulk(draws: jnp.ndarray, cap: bool = True,
+             rank_normalize: bool = False) -> jnp.ndarray:
     """Effective sample size (Geyer initial monotone sequence, split chains).
 
     ``draws``: [N, C, D] → [D].  Stan-style combined autocorrelation
@@ -179,7 +200,15 @@ def ess_bulk(draws: jnp.ndarray, cap: bool = True) -> jnp.ndarray:
     convergence checks); ``cap=False`` reports the raw ``total/tau``, which
     can legitimately exceed the draw count for antithetic chains — use it
     for throughput benchmarking so near-iid posteriors aren't cap-bound.
+
+    ``rank_normalize=True`` computes the ESS of the rank-normalized draws —
+    Stan's ``ess_bulk`` proper (Vehtari et al. 2021), robust to heavy tails;
+    :func:`posterior_summary` uses it.  The raw-draw default measures the
+    autocorrelation of the actual sample sequence (the throughput quantity
+    benchmarks divide by wall time).
     """
+    if rank_normalize:
+        draws = _rank_normalize(draws)
     n, c, d = draws.shape
     half = n // 2
     x = jnp.concatenate([draws[:half], draws[half:2 * half]], axis=1)  # [half, 2C, D]
@@ -192,21 +221,16 @@ def ess_bulk(draws: jnp.ndarray, cap: bool = True) -> jnp.ndarray:
     var_plus = (half - 1) / half * w + b / half    # [D]
 
     rho = 1.0 - (w[None] - jnp.mean(acov, axis=1)) / var_plus[None]  # [half, D]
-    n_pairs = half // 2
-    p = rho[: 2 * n_pairs].reshape(n_pairs, 2, d).sum(axis=1)  # [n_pairs, D]
-    pos = jnp.cumprod(p > 0, axis=0).astype(bool)  # true until first non-positive
-    p = jnp.where(pos, p, 0.0)
-    p = jax.lax.cummin(p, axis=0)                  # initial monotone sequence
-    p = jnp.maximum(p, 0.0)
-    tau = -1.0 + 2.0 * jnp.sum(p, axis=0)
-    tau = jnp.maximum(tau, 1e-8)
+    tau = _geyer_tau(rho)
     total = jnp.asarray(m * half, draws.dtype)
     ess = total / tau
     return jnp.minimum(ess, total) if cap else ess
 
 
 def ess_per_second(draws: jnp.ndarray, wall_s: float) -> jnp.ndarray:
-    return ess_bulk(draws) / wall_s
+    """Throughput: raw (uncapped) ESS per second — near-iid posteriors
+    would otherwise be cap-bound and report draws/s instead."""
+    return ess_bulk(draws, cap=False) / wall_s
 
 
 def _rank_normalize(draws: jnp.ndarray) -> jnp.ndarray:
@@ -292,12 +316,12 @@ def posterior_summary(draws: jnp.ndarray, names=None) -> PosteriorSummary:
         names=_default_names(d, names),
         mean=flat.mean(axis=0), sd=flat.std(axis=0, ddof=1),
         q5=q5, q50=q50, q95=q95,
-        ess_bulk=np.asarray(ess_bulk(draws)),
+        ess_bulk=np.asarray(ess_bulk(draws, rank_normalize=True)),
         ess_tail=np.asarray(ess_tail(draws)),
         rhat=np.asarray(rhat_rank(draws)))
 
 
-def posterior_summary_streamed(sketch, n_chains: int,
+def posterior_summary_streamed(sketch, n_chains=None,
                                names=None) -> PosteriorSummary:
     """The same table from a :class:`~inplacedhmc_tpu.sketch.StreamSketch`
     (draw-free runs, ``store_draws=False``): moments and quantiles come from
@@ -310,6 +334,12 @@ def posterior_summary_streamed(sketch, n_chains: int,
                          rank_rhat_from_sketch)
 
     rk = sketch.rank
+    c_sketch = rk.counts.shape[1]
+    if n_chains is None:
+        n_chains = c_sketch          # derivable: [2, C, D, B] histogram
+    elif n_chains != c_sketch:
+        raise ValueError(f"n_chains={n_chains} does not match the sketch's "
+                         f"chain count {c_sketch}")
     p = np.asarray(jnp.sum(rk.counts, axis=(0, 1))).astype(np.float64)  # [D, B]
     d, b = p.shape
     lo = np.asarray(rk.lo, np.float64)
@@ -317,9 +347,13 @@ def posterior_summary_streamed(sketch, n_chains: int,
     edges = lo[:, None] + np.arange(b + 1)[None] / b * width[:, None]
     mids = 0.5 * (edges[:, :-1] + edges[:, 1:])
     total = p.sum(-1, keepdims=True)
-    w = p / total
-    mean = (w * mids).sum(-1)
-    var = (w * (mids - mean[:, None]) ** 2).sum(-1)
+    # an empty sketch reports NaN consistently across every column (the
+    # quantile helper already guards this case)
+    w = p / np.maximum(total, 1.0)
+    mean = np.where(total[:, 0] > 0, (w * mids).sum(-1), np.nan)
+    var = np.where(total[:, 0] > 0,
+                   (w * (mids - np.nan_to_num(mean)[:, None]) ** 2).sum(-1),
+                   np.nan)
     qs = np.asarray(quantiles_from_hist(rk, [0.05, 0.5, 0.95]))
 
     ess = ess_from_sketch(sketch.acov, n_chains)

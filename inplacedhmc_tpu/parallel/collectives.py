@@ -14,18 +14,14 @@ O(D) moment vectors cross the ICI.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
+
+from ..diagnostics import _autocov_fft, _geyer_tau
 
 
 def _psum(x, axis_name):
     return lax.psum(x, axis_name) if axis_name is not None else x
-
-
-def pmean_scalar(x, axis_name=None):
-    """Cross-device mean of an already-locally-reduced scalar."""
-    return lax.pmean(x, axis_name) if axis_name is not None else x
 
 
 def _split_chains(draws):
@@ -67,10 +63,7 @@ def ess_bulk_sharded(draws_local: jnp.ndarray, axis_name: str,
     """
     x, half = _split_chains(draws_local)
     m_local = x.shape[1]
-    xc = x - jnp.mean(x, axis=0, keepdims=True)
-    size = 2 * half
-    f = jnp.fft.rfft(xc, size, axis=0)
-    acov = jnp.fft.irfft(f * jnp.conj(f), size, axis=0)[:half] / half  # [half, 2C_loc, D]
+    acov = _autocov_fft(x)                                    # [half, 2C_loc, D]
 
     m = _psum(jnp.asarray(m_local, x.dtype), axis_name)
     acov_mean = _psum(jnp.sum(acov, axis=1), axis_name) / m   # [half, D]
@@ -85,21 +78,16 @@ def ess_bulk_sharded(draws_local: jnp.ndarray, axis_name: str,
     var_plus = (half - 1) / half * w + b / half
 
     rho = 1.0 - (w[None] - acov_mean) / var_plus[None]        # [half, D]
-    d = rho.shape[-1]
-    n_pairs = half // 2
-    p = rho[: 2 * n_pairs].reshape(n_pairs, 2, d).sum(axis=1)
-    pos = jnp.cumprod(p > 0, axis=0).astype(bool)
-    p = jnp.where(pos, p, 0.0)
-    p = lax.cummin(p, axis=0)
-    p = jnp.maximum(p, 0.0)
-    tau = jnp.maximum(-1.0 + 2.0 * jnp.sum(p, axis=0), 1e-8)
+    tau = _geyer_tau(rho)
     total = m * half
     ess = total / tau
     return jnp.minimum(ess, total) if cap else ess
 
 
 def pooled_acceptance(accept_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:
-    """Cross-device mean acceptance for shared dual averaging."""
+    """Cross-device mean acceptance for shared dual averaging.  The count is
+    the local SIZE (the sum reduces every axis; counting only shape[0] would
+    inflate the mean for [N, C_local] inputs by the chain factor)."""
     s = _psum(jnp.sum(accept_local), axis_name)
-    n = _psum(jnp.asarray(accept_local.shape[0], accept_local.dtype), axis_name)
+    n = _psum(jnp.asarray(accept_local.size, accept_local.dtype), axis_name)
     return s / n
