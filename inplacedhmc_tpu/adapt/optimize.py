@@ -51,7 +51,8 @@ def _two_loop(g, s_hist, y_hist, rho, head, count, memory):
     # initial Hessian scaling gamma = s·y / y·y of the most recent pair
     last = (head - 1) % memory
     yy = jnp.dot(y_hist[last], y_hist[last])
-    sy = jnp.where(rho[last] != 0, 1.0 / jnp.where(rho[last] != 0, rho[last], 1.0), 0.0)
+    # rho[last] == 0 only when count == 0, which gamma's guard excludes
+    sy = 1.0 / jnp.where(rho[last] != 0, rho[last], 1.0)
     gamma = jnp.where(jnp.logical_and(count > 0, yy > 0), sy / jnp.maximum(yy, 1e-30), 1.0)
     r = gamma * q
 
@@ -99,8 +100,15 @@ def lbfgs_single(value_and_grad: Callable, q0: jnp.ndarray, iterations: int,
             step, _, _, done, _ = ls
             q_try = s.q + step * direction
             f_try, g_try = value_and_grad(q_try)
-            ok = jnp.logical_and(jnp.isfinite(f_try),
-                                 f_try <= s.f + 1e-4 * step * dg)
+            # the GRADIENT must be finite too: a finite value with a NaN
+            # autodiff gradient (where/overflow traps) would otherwise be
+            # accepted into the carry, turn the next direction into NaN and
+            # silently end the optimization at a garbage point instead of
+            # shrinking the step
+            ok = jnp.logical_and(
+                jnp.logical_and(jnp.isfinite(f_try),
+                                jnp.all(jnp.isfinite(g_try))),
+                f_try <= s.f + 1e-4 * step * dg)
             return (jnp.where(ok, step, step * 0.5), f_try, g_try, ok,
                     jnp.where(ok, q_try, s.q))
 

@@ -1,10 +1,11 @@
 """Step-size adaptation: dual averaging + vectorized initial-eps search.
 
 TPU rebuild of ``/root/reference/src/stepsize.jl``.  Dual averaging is the
-identical scalar recurrence, vectorized over chains (``[C]`` states) with an
-optional *pooled* mode that adapts one shared step size on the cross-chain
-(and, under ``shard_map``/GSPMD, cross-device) mean acceptance — the new
-collective capability named by the north star (SURVEY.md §2).
+identical scalar recurrence, shape-polymorphic: per-chain ``[C]`` states, or
+a pooled scalar state when the CALLER pre-reduces the acceptance to a
+cross-chain (and, under ``shard_map``/GSPMD, cross-device) mean — see
+``adapt/warmup.py`` (pooled mode), the collective capability named by the
+north star (SURVEY.md §2).
 
 The initial step-size search is the reference's bracket-then-bisect
 (``stepsize.jl:51-126``) re-expressed as a lockstep ``lax.while_loop`` whose
@@ -75,7 +76,6 @@ def da_final_eps(s: DualAveragingState) -> jnp.ndarray:
 class _SearchCarry(NamedTuple):
     phase: jnp.ndarray   # [C] int32: 0 = bracketing, 1 = bisecting, 2 = done
     eps: jnp.ndarray     # [C] current candidate
-    a_cur: jnp.ndarray   # [C] A(eps)
     eps_lo: jnp.ndarray  # [C] bisection bracket: A(eps_lo) > a_max
     eps_hi: jnp.ndarray  # [C] A(eps_hi) < a_min
     grow: jnp.ndarray    # [C] bool: bracketing upward (A > a_max -> grow eps)
@@ -112,7 +112,7 @@ def find_initial_stepsize(params: InitialStepsizeSearch, potential: Callable,
 
     carry = _SearchCarry(
         phase=jnp.where(in_band, 2, 0).astype(jnp.int32),
-        eps=eps0, a_cur=a0,
+        eps=eps0,
         eps_lo=eps0, eps_hi=eps0, grow=grow,
         it=jnp.asarray(0, jnp.int32),
     )
@@ -127,8 +127,7 @@ def find_initial_stepsize(params: InitialStepsizeSearch, potential: Callable,
         factor = jnp.where(s.grow, params.c, 1.0 / params.c).astype(dtype)
         cand = jnp.where(bracketing, s.eps * factor,
                          jnp.where(bisecting, 0.5 * (s.eps_lo + s.eps_hi), s.eps))
-        a = a_of(cand)
-        a = jnp.where(s.phase == 2, s.a_cur, a)
+        a = a_of(cand)  # phase-2 lanes compute but never consume this
 
         in_band = jnp.logical_and(a >= params.a_min, a <= params.a_max)
 
@@ -139,8 +138,7 @@ def find_initial_stepsize(params: InitialStepsizeSearch, potential: Callable,
         sign = jnp.where(s.grow, 1.0, -1.0).astype(dtype)
         crossed = sign * (a - thresh) <= 0
 
-        # new bisection bracket on crossing: the side with A > a_max is lo
-        new_lo = jnp.where(s.grow, cand, s.eps)   # grow: prev had A>a_max... see below
+        # new bisection bracket on crossing: the side with A > a_max is lo.
         # When growing (A was > a_max): prev eps has A > a_max -> lo = prev, hi = cand.
         # When shrinking (A was < a_min): prev eps has A < a_min -> hi = prev, lo = cand.
         lo_cross = jnp.where(s.grow, s.eps, cand)
@@ -150,6 +148,14 @@ def find_initial_stepsize(params: InitialStepsizeSearch, potential: Callable,
         done_now = jnp.logical_and(br, jnp.logical_and(crossed, in_band))
         to_bisect = jnp.logical_and(br, jnp.logical_and(crossed, jnp.logical_not(in_band)))
         keep_bracketing = jnp.logical_and(br, jnp.logical_not(crossed))
+        # enforce the per-phase budget the config names: chains still
+        # bracketing after maxiter_crossing iterations switch to bisection
+        # over the last (eps, cand) interval instead of silently spending
+        # the bisect budget on more bracketing
+        force_bisect = jnp.logical_and(
+            keep_bracketing, s.it + 1 >= params.maxiter_crossing)
+        keep_bracketing = jnp.logical_and(keep_bracketing,
+                                          jnp.logical_not(force_bisect))
 
         # bisection update (stepsize.jl:83-102)
         bi = bisecting
@@ -159,14 +165,18 @@ def find_initial_stepsize(params: InitialStepsizeSearch, potential: Callable,
 
         phase = s.phase
         phase = jnp.where(done_now | bi_done, 2, phase)
-        phase = jnp.where(to_bisect, 1, phase)
+        phase = jnp.where(to_bisect | force_bisect, 1, phase)
 
         eps = jnp.where(done_now | bi_done, cand,
                         jnp.where(keep_bracketing, cand, s.eps))
-        eps_lo = jnp.where(to_bisect, lo_cross, lo_new)
-        eps_hi = jnp.where(to_bisect, hi_cross, hi_new)
+        eps_lo = jnp.where(to_bisect, lo_cross,
+                           jnp.where(force_bisect, jnp.minimum(s.eps, cand),
+                                     lo_new))
+        eps_hi = jnp.where(to_bisect, hi_cross,
+                           jnp.where(force_bisect, jnp.maximum(s.eps, cand),
+                                     hi_new))
 
-        return _SearchCarry(phase=phase, eps=eps, a_cur=a,
+        return _SearchCarry(phase=phase, eps=eps,
                             eps_lo=eps_lo, eps_hi=eps_hi, grow=s.grow,
                             it=s.it + 1)
 
