@@ -74,16 +74,13 @@ class _Leaf(NamedTuple):
 
 class _Proposal(NamedTuple):
     """Running proposal: position cache + its energy offset Δ from π₀.
-
-    ``i`` is the leaf's integer position relative to the initial point
-    (``tree.jl:306-318``) — retained for deterministic-tree testing.
-    """
+    (Leaf positions relative to the start, ``tree.jl:306-318``, surface only
+    through the termination records ``term_left``/``term_right``.)"""
 
     q: jnp.ndarray
     logp: jnp.ndarray
     grad: jnp.ndarray
     delta: jnp.ndarray
-    i: jnp.ndarray
 
 
 class _Inner(NamedTuple):
@@ -94,8 +91,8 @@ class _Inner(NamedTuple):
     alive: jnp.ndarray          # [C] active and subtree still valid
     cur: _Leaf                  # integration frontier
     s_cum: jnp.ndarray          # [C, D] momentum sum over subtree leaves so far
-    ckpt_s: jnp.ndarray         # [C, MD+1, D] left-edge momentum-sum checkpoints
-    ckpt_psharp: jnp.ndarray    # [C, MD+1, D] left-edge p♯ checkpoints
+    ckpt_s: jnp.ndarray         # [C, MD, D] left-edge momentum-sum checkpoints
+    ckpt_psharp: jnp.ndarray    # [C, MD, D] left-edge p♯ checkpoints
     sub_prop: _Proposal
     omega_sub: jnp.ndarray      # [C]
     died_div: jnp.ndarray       # [C] divergence inside this subtree
@@ -168,10 +165,16 @@ def nuts_transition(
 
     Returns the next evaluated positions and per-chain :class:`TreeStats`.
     """
+    if not 1 <= max_depth <= 30:
+        # the reference's hard cap (tree.jl:131, 32-bit direction words /
+        # occupancy masks): beyond 30, direction-bit shifts and the int32
+        # 2^d subtree length are undefined/overflow — silently biased
+        # doublings instead of an error
+        raise ValueError(f"max_depth must be in [1, 30], got {max_depth}")
     q0 = z.q
     c, dim = q0.shape
     dtype = q0.dtype
-    md = max(1, max_depth)
+    md = max_depth
     neg_inf = jnp.asarray(-jnp.inf, dtype)
     min_d = jnp.asarray(min_delta, dtype)
 
@@ -201,8 +204,7 @@ def nuts_transition(
 
     z0_leaf = _Leaf(q=q0, p=p0, grad=z.grad, logp=z.logp)
     init_prop = _Proposal(q=q0, logp=z.logp, grad=z.grad,
-                          delta=jnp.zeros((c,), dtype),
-                          i=jnp.zeros((c,), jnp.int32))
+                          delta=jnp.zeros((c,), dtype))
 
     outer0 = _Outer(
         key=key,
@@ -214,8 +216,8 @@ def nuts_transition(
         rho=p0,
         omega=jnp.zeros((c,), dtype),
         prop=init_prop,
-        ckpt_s=jnp.zeros((c, md + 1, dim), dtype),
-        ckpt_psharp=jnp.zeros((c, md + 1, dim), dtype),
+        ckpt_s=jnp.zeros((c, md, dim), dtype),
+        ckpt_psharp=jnp.zeros((c, md, dim), dtype),
         term_type=jnp.full((c,), Termination.MAX_DEPTH, jnp.int32),
         term_left=jnp.ones((c,), jnp.int32),   # REACHED_MAX_DEPTH sentinel (1, 0)
         term_right=jnp.zeros((c,), jnp.int32),
@@ -276,9 +278,12 @@ def nuts_transition(
             steps = t.steps + mask.astype(jnp.int32)
 
             # -- checkpoint store: even leaves are left edges; odd leaves hit
-            #    the dummy slot `md` so the write is unconditional --
+            #    the dummy slot `md-1` so the write is unconditional (real
+            #    left-edge slots never exceed md-2: the largest subtree has
+            #    2^(md-1) leaves, so even n <= 2^(md-1)-2 gives
+            #    popcount(n>>1) <= md-2) --
             slot = jnp.where(n % 2 == 0, checkpoint_slot(n),
-                             jnp.asarray(md, jnp.int32))
+                             jnp.asarray(md - 1, jnp.int32))
             zero = jnp.asarray(0, jnp.int32)
             ckpt_s = lax.dynamic_update_slice(
                 t.ckpt_s, t.s_cum[:, None, :], (zero, slot, zero))
@@ -295,12 +300,12 @@ def nuts_transition(
 
             # Nested control flow (while_loop or a taken lax.cond) costs
             # ~300us per instance in this inner loop on TPU, so the common
-            # check levels (k <= _STATIC_CHECK_LEVELS, covering all leaves
-            # with trailing_ones <= 4, i.e. 31/32 of leaves) run
-            # *unconditionally* with a validity mask — two extra [C, D] slice
-            # reads per level are far cheaper than a branch.  Deeper levels
-            # (needed on <= 1/2^5 of leaves) use a cond chain whose amortized
-            # cost is negligible.  Check order is innermost-first, matching
+            # check levels (m < _STATIC_CHECK_LEVELS, i.e. node depths
+            # k <= 5, covering every leaf with trailing_ones <= 5 — 63/64 of
+            # leaves) run *unconditionally* with a validity mask — two extra
+            # [C, D] slice reads per level are far cheaper than a branch.
+            # Deeper levels (needed on 1/2^6 of leaves) use a cond chain
+            # whose amortized cost is negligible.  Check order is innermost-first, matching
             # the reference's post-order recursion.
             def run_check(m, acc):
                 turning, first_left = acc
@@ -336,7 +341,7 @@ def nuts_transition(
             take_new = jnp.log(u_sub) < (delta - omega_new)
             upd = jnp.logical_and(mask, ~divergent)
             new_sub = _Proposal(q=leaf.q, logp=leaf.logp, grad=leaf.grad,
-                                delta=delta, i=i_new)
+                                delta=delta)
             sub_prop = tree_where(jnp.logical_and(upd, take_new), new_sub,
                                   t.sub_prop)
             omega_sub = jnp.where(upd, omega_new, t.omega_sub)

@@ -256,12 +256,13 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                     seti(STEPS, geti(STEPS) + mask.astype(jnp.int32))
 
                 # checkpoint store: even leaves to slot popcount(n>>1), odd
-                # leaves to the dummy slot (branch-free)
+                # leaves to the dummy slot max_depth-1 (branch-free; real
+                # left-edge slots never exceed max_depth-2)
                 if d_level == 0:
                     slot = 0
                 else:
                     slot = jnp.where(n % 2 == 0, _popcount(n >> 1),
-                                     jnp.asarray(max_depth, jnp.int32))
+                                     jnp.asarray(max_depth - 1, jnp.int32))
                 # stacks are [md1, bc, dpad]: the dynamic slot index lands on
                 # the untiled leading dim, which Mosaic allows for any dtype
                 # (a dynamic index into a *tiled* dim needs packing-aligned
@@ -459,7 +460,7 @@ def _build_transition_padded(physics, data_arrays, max_depth: int,
     from ..core.state import Termination
 
     n_data = len(data_arrays)
-    md1 = max_depth + 1
+    md1 = max_depth  # stack slots: real left edges <= md-2, dummy md-1
     f32 = jnp.float32
     i32 = jnp.int32
     ckpt_dtype = jnp.bfloat16 if ckpt_bf16 else f32

@@ -130,3 +130,20 @@ def test_max_depth_sentinel():
     assert np.all(np.asarray(stats.steps) == 15)  # 1+2+4+8
     np.testing.assert_array_equal(np.asarray(stats.term_left), 1)
     np.testing.assert_array_equal(np.asarray(stats.term_right), 0)
+
+
+def test_max_depth_cap_enforced():
+    """max_depth > 30 would silently bias doubling directions (32-bit
+    direction words, int32 2^d — the reference's hard cap, tree.jl:131);
+    the transition must reject it loudly."""
+    from inplacedhmc_tpu.core.hamiltonian import batched_logdensity_and_grad, evaluate
+    from inplacedhmc_tpu.core.metric import identity_metric
+    from inplacedhmc_tpu.models import std_normal
+    from inplacedhmc_tpu.nuts.tree import nuts_transition
+
+    model = std_normal(2)
+    pot = batched_logdensity_and_grad(model.logp)
+    z = evaluate(pot, jnp.zeros((2, 2), jnp.float32))
+    with pytest.raises(ValueError):
+        nuts_transition(jax.random.PRNGKey(0), pot, identity_metric(2, jnp.float32),
+                        z, jnp.asarray(0.5, jnp.float32), max_depth=31)
