@@ -28,7 +28,7 @@ from ..core.hamiltonian import evaluate
 from ..core.metric import (Metric, dense_metric, diag_metric,
                            estimate_dense_metric, estimate_diag_metric,
                            estimate_low_rank_metric, identity_metric,
-                           low_rank_metric_from_cov, moments_cov,
+                           low_rank_metric_from_moments, moments_cov,
                            moments_variance, sample_momentum)
 from ..core.state import EvalPoint, PhasePoint, TreeStats, WarmupState
 from ..nuts.tree import nuts_transition
@@ -201,10 +201,10 @@ def _metric_from_moments(stage: TuningNUTS, mom: StreamMoments,
         s2 = lax.psum(s2, axis_name)
     if stage.metric == "diag":
         return diag_metric(moments_variance(cnt, s1, s2, stage.lam_value))
-    cov = moments_cov(cnt, s1, s2, stage.lam_value)
     if stage.metric == "dense":
-        return dense_metric(cov)
-    return low_rank_metric_from_cov(cov, cnt, stage.lam_value, stage.rank)
+        return dense_metric(moments_cov(cnt, s1, s2, stage.lam_value))
+    return low_rank_metric_from_moments(cnt, s1, s2, stage.lam_value,
+                                        stage.rank)
 
 
 

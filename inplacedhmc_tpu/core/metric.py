@@ -78,11 +78,18 @@ def diag_metric(inv: jnp.ndarray) -> DiagMetric:
 
 
 def dense_metric(inv: jnp.ndarray) -> DenseMetric:
-    """Dense metric from ``M⁻¹``; computes ``chol(M)`` for momentum draws."""
-    mass = jnp.linalg.inv(inv)
-    # Symmetrize against numerical asymmetry before Cholesky.
-    mass = 0.5 * (mass + jnp.swapaxes(mass, -1, -2))
-    return DenseMetric(inv=inv, mass_chol=jnp.linalg.cholesky(mass))
+    """Dense metric from ``M⁻¹``.  The momentum-draw factor is built by
+    factoring ``M⁻¹`` DIRECTLY: ``L = chol(M⁻¹)``, ``A = L⁻ᵀ`` satisfies
+    ``A Aᵀ = (L Lᵀ)⁻¹ = M``.  The previous invert-then-Cholesky form squared
+    the condition number — in f32 it returned an all-NaN factor (silently
+    frozen chains) once cond(M⁻¹) exceeded ~1e7, a realistic spread for
+    unscaled correlated posteriors; factoring first moves that cliff to the
+    PSD limit of ``M⁻¹`` itself."""
+    sym = 0.5 * (inv + jnp.swapaxes(inv, -1, -2))
+    l = jnp.linalg.cholesky(sym)
+    eye = jnp.broadcast_to(jnp.eye(inv.shape[-1], dtype=inv.dtype), inv.shape)
+    l_inv = jax.scipy.linalg.solve_triangular(l, eye, lower=True)
+    return DenseMetric(inv=inv, mass_chol=jnp.swapaxes(l_inv, -1, -2))
 
 
 def kinetic_energy(metric: Metric, p: jnp.ndarray) -> jnp.ndarray:
@@ -157,8 +164,7 @@ def regularized_variance(draws: jnp.ndarray, lam, pooled: bool = False,
     else:
         var = jnp.var(draws, axis=0, ddof=1)  # [C, D]
         n_eff = jnp.asarray(n, draws.dtype)
-    lam = jnp.asarray(lam, draws.dtype)
-    return var * (n_eff / (n_eff + lam)) + jnp.asarray(1e-3, draws.dtype) * (lam / (n_eff + lam))
+    return _regularize(var, n_eff, lam, draws.dtype)
 
 
 def estimate_diag_metric(draws: jnp.ndarray, lam, pooled: bool = False,
@@ -200,9 +206,9 @@ def regularized_cov(draws: jnp.ndarray, lam, pooled: bool = True,
         c = draws - mean[None]
         cov = jnp.einsum("nci,ncj->cij", c, c) / (n - 1)
         n_eff = jnp.asarray(n, draws.dtype)
-    lam = jnp.asarray(lam, draws.dtype)
     eye = jnp.eye(d, dtype=draws.dtype)
-    return cov * (n_eff / (n_eff + lam)) + jnp.asarray(1e-3, draws.dtype) * (lam / (n_eff + lam)) * eye
+    return _regularize(cov, n_eff, lam, draws.dtype,
+                       target=jnp.asarray(1e-3, draws.dtype) * eye)
 
 
 def estimate_dense_metric(draws: jnp.ndarray, lam, pooled: bool = True,
@@ -210,10 +216,14 @@ def estimate_dense_metric(draws: jnp.ndarray, lam, pooled: bool = True,
     return dense_metric(regularized_cov(draws, lam, pooled, axis_name))
 
 
-def _regularize(var, n_eff, lam, dtype):
+def _regularize(var, n_eff, lam, dtype, target=None):
+    """``var·N/(N+λ) + target·λ/(N+λ)`` — the single definition of the
+    reference's shrinkage (``hamiltonian.jl:119-189``); ``target`` defaults
+    to the scalar 1e-3 (diag) and is ``1e-3·I`` for covariances."""
     lam = jnp.asarray(lam, dtype)
-    return var * (n_eff / (n_eff + lam)) \
-        + jnp.asarray(1e-3, dtype) * (lam / (n_eff + lam))
+    if target is None:
+        target = jnp.asarray(1e-3, dtype)
+    return var * (n_eff / (n_eff + lam)) + target * (lam / (n_eff + lam))
 
 
 def moments_variance(cnt, s1, s2, lam, axis_name: str | None = None):
@@ -241,23 +251,32 @@ def moments_cov(cnt, s1, gram, lam, axis_name: str | None = None):
         s1 = jax.lax.psum(s1, axis_name)
         gram = jax.lax.psum(gram, axis_name)
     d = s1.shape[0]
+    cov = _cov_from_moments(cnt, s1, gram)
+    eye = jnp.eye(d, dtype=s1.dtype)
+    return _regularize(cov, cnt, lam, s1.dtype,
+                       target=jnp.asarray(1e-3, s1.dtype) * eye)
+
+
+def _cov_from_moments(cnt, s1, gram):
+    """Centered covariance from qref-centered one-pass moments, with the
+    cancellation guards: diagonal clamp plus a RELATIVE symmetric jitter
+    (1e-6 of the mean variance) so off-diagonal rounding noise cannot leave
+    the matrix indefinite — ``dense_metric`` takes a Cholesky of this, and a
+    single negative eigenvalue would silently NaN the whole factor."""
     mu = s1 / cnt
     cov = (gram - cnt * jnp.outer(mu, mu)) / (cnt - 1)
-    # clamp the diagonal against residual cancellation
     cov = cov + jnp.diag(jnp.maximum(1e-10 - jnp.diag(cov), 0.0))
-    lam = jnp.asarray(lam, s1.dtype)
-    eye = jnp.eye(d, dtype=s1.dtype)
-    return cov * (cnt / (cnt + lam)) \
-        + jnp.asarray(1e-3, s1.dtype) * (lam / (cnt + lam)) * eye
+    jitter = 1e-6 * jnp.mean(jnp.diag(cov))
+    return cov + jitter * jnp.eye(cov.shape[-1], dtype=cov.dtype)
 
 
-def low_rank_metric_from_cov(cov, cnt, lam, rank: int) -> LowRankMetric:
-    """Low-rank+diag metric from an (already regularized) covariance —
-    shared tail of the stored-draws and streamed-moments estimators."""
-    diag_inv = jnp.maximum(jnp.diag(cov), 1e-10)
-    s = jnp.sqrt(diag_inv)
-    cov_w = cov / s[:, None] / s[None, :]
-    lam = jnp.asarray(lam, cov.dtype)
+def _low_rank_tail(cov_w, diag_inv, cnt, lam, rank: int) -> LowRankMetric:
+    """Shared tail of the stored-draws and streamed-moments low-rank
+    estimators: eigendecompose the whitened covariance, floor + shrink the
+    eigenvalues toward 1 with the reference's ``N/(N+λ)`` weight, keep the
+    ``rank`` directions most different from identity (by ``|log λ|``, so
+    strongly contracted directions count too)."""
+    lam = jnp.asarray(lam, cov_w.dtype)
     evals, evecs = jnp.linalg.eigh(cov_w)
     evals = jnp.maximum(evals, 1e-6)
     evals = evals * (cnt / (cnt + lam)) + lam / (cnt + lam)
@@ -265,6 +284,27 @@ def low_rank_metric_from_cov(cov, cnt, lam, rank: int) -> LowRankMetric:
     u = jnp.take(evecs, order, axis=1)
     w = jnp.take(evals, order) - 1.0
     return LowRankMetric(diag_inv=diag_inv, u=u, w=w)
+
+
+def low_rank_metric_from_moments(cnt, s1, gram, lam, rank: int,
+                                 axis_name: str | None = None) -> LowRankMetric:
+    """Low-rank+diag metric from streamed qref-centered moments — the EXACT
+    analog of :func:`estimate_low_rank_metric` built without stored draws:
+    raw covariance from the moments, regularized variances for the diagonal,
+    whitened RAW covariance for the eigenbasis.  (An earlier version
+    eigendecomposed the already-regularized covariance and shrank its
+    eigenvalues AGAIN — double regularization that understated the principal
+    directions whenever ``lam`` was not tiny.)"""
+    if axis_name is not None:
+        cnt = jax.lax.psum(cnt, axis_name)
+        s1 = jax.lax.psum(s1, axis_name)
+        gram = jax.lax.psum(gram, axis_name)
+    cov = _cov_from_moments(cnt, s1, gram)
+    var = jnp.maximum(jnp.diag(cov), 1e-10)
+    diag_inv = _regularize(var, cnt, lam, s1.dtype)
+    sc = jnp.sqrt(diag_inv)
+    cov_w = cov / sc[:, None] / sc[None, :]
+    return _low_rank_tail(cov_w, diag_inv, cnt, lam, rank)
 
 
 def estimate_low_rank_metric(draws: jnp.ndarray, lam, rank: int,
@@ -280,25 +320,23 @@ def estimate_low_rank_metric(draws: jnp.ndarray, lam, rank: int,
     Gram matmul + one ``eigh`` per window; cross-device moments via ``psum``.
     """
     n, c, d = draws.shape
-    diag_inv = regularized_variance(draws, lam, pooled=True,
-                                    axis_name=axis_name)
+    # one pass over the draws: pooled mean/variance (no second reduction via
+    # regularized_variance — under shard_map that cost two extra psums and a
+    # full O(N·C·D) re-read per tuning window)
     cnt = jnp.asarray(n * c, draws.dtype)
     s1 = jnp.sum(draws, axis=(0, 1))
     if axis_name is not None:
         cnt = jax.lax.psum(cnt, axis_name)
         s1 = jax.lax.psum(s1, axis_name)
     mean = s1 / cnt
-    xw = (draws - mean) / jnp.sqrt(diag_inv)
+    ctr = draws - mean
+    s2c = jnp.sum(ctr * ctr, axis=(0, 1))
+    if axis_name is not None:
+        s2c = jax.lax.psum(s2c, axis_name)
+    diag_inv = _regularize(s2c / (cnt - 1), cnt, lam, draws.dtype)
+    xw = ctr / jnp.sqrt(diag_inv)
     gram = jnp.einsum("ncd,nce->de", xw, xw)
     if axis_name is not None:
         gram = jax.lax.psum(gram, axis_name)
     cov_w = gram / (cnt - 1)
-    lam = jnp.asarray(lam, draws.dtype)
-    evals, evecs = jnp.linalg.eigh(cov_w)
-    evals = jnp.maximum(evals, 1e-6)
-    evals = evals * (cnt / (cnt + lam)) + lam / (cnt + lam)
-    # keep the rank directions most different from the whitened identity
-    order = jnp.argsort(jnp.abs(jnp.log(evals)))[::-1][:rank]
-    u = jnp.take(evecs, order, axis=1)              # [D, r]
-    w = jnp.take(evals, order) - 1.0                # [r]
-    return LowRankMetric(diag_inv=diag_inv, u=u, w=w)
+    return _low_rank_tail(cov_w, diag_inv, cnt, lam, rank)

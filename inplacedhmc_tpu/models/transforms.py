@@ -56,6 +56,10 @@ def positive(size: int = 1) -> Bijector:
 def interval(lo: float, hi: float, size: int = 1) -> Bijector:
     """x = lo + (hi-lo)*sigmoid(y): bounded parameters (probabilities, AR
     coefficients, correlations)."""
+    if not hi > lo:
+        # a swapped-argument typo would otherwise surface only as
+        # log(negative) = NaN in every logp — frozen chains, no pointer here
+        raise ValueError(f"interval requires hi > lo, got ({lo}, {hi})")
     width = hi - lo
 
     def fwd(y):

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from inplacedhmc_tpu.core.metric import (dense_metric, diag_metric,
                                          estimate_dense_metric,
@@ -227,18 +228,41 @@ class TestStreamedMoments:
         want = np.asarray(regularized_cov(draws, lam, pooled=True))
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
 
-    def test_low_rank_from_cov_matches_draw_estimator(self):
+    @pytest.mark.parametrize("lam_mult", [1.0, 480.0])
+    def test_low_rank_from_moments_matches_draw_estimator(self, lam_mult):
+        """Parity must hold for LARGE lam too: the old from-cov path
+        eigendecomposed the already-regularized covariance and shrank its
+        eigenvalues AGAIN (17% off on the top eigenvalue at lam=20)."""
         from inplacedhmc_tpu.core.metric import (estimate_low_rank_metric,
-                                                 low_rank_metric_from_cov,
-                                                 moments_cov)
+                                                 low_rank_metric_from_moments)
         draws = self._draws(n=120, c=16, d=5)
-        lam = 5.0 / draws.shape[0]
+        lam = lam_mult * 5.0 / draws.shape[0]
         cnt, s1, gram = self._moments(draws, dense=True)
-        cov = moments_cov(cnt, s1, gram, lam)
-        got = low_rank_metric_from_cov(cov, cnt, lam, rank=3)
+        got = low_rank_metric_from_moments(cnt, s1, gram, lam, rank=3)
         want = estimate_low_rank_metric(draws, lam, rank=3)
         np.testing.assert_allclose(np.asarray(got.diag_inv),
                                    np.asarray(want.diag_inv), rtol=2e-3)
         np.testing.assert_allclose(np.sort(np.asarray(got.w)),
                                    np.sort(np.asarray(want.w)),
                                    rtol=1e-2, atol=1e-4)
+
+    def test_dense_metric_survives_high_condition_number(self):
+        """f32 invert-then-Cholesky NaN'd around cond ~1e7; factoring M^-1
+        directly must stay finite well past that."""
+        from inplacedhmc_tpu.core.metric import dense_metric, sample_momentum
+        rng = np.random.default_rng(0)
+        d = 50
+        scales = np.geomspace(1e-1, 1e1, d)          # anisotropy, not noise
+        a = rng.normal(size=(d, d)).astype(np.float64)
+        q, _ = np.linalg.qr(a)
+        evals = np.geomspace(1e-4, 1e4, d)           # cond(M^-1) = 1e8
+        inv = (q * evals) @ q.T
+        inv = 0.5 * (inv + inv.T)
+        m = dense_metric(jnp.asarray(inv, jnp.float32))
+        assert np.isfinite(np.asarray(m.mass_chol)).all()
+        p = sample_momentum(m, jax.random.PRNGKey(0), (64, d), jnp.float32)
+        assert np.isfinite(np.asarray(p)).all()
+        # the draws actually have covariance M = inv^-1: check the top
+        # whitened direction's variance is ~1 under M^-1 metric
+        ke = np.asarray(0.5 * jnp.einsum("ci,ij,cj->c", p, jnp.asarray(inv, jnp.float32), p))
+        assert abs(ke.mean() / (d / 2) - 1.0) < 0.3
