@@ -30,10 +30,15 @@ def batched_logdensity_and_grad(logp: Callable) -> Callable:
 
     def evaluate(q: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         val, grad = vg(q)
-        ok = jnp.isfinite(val)
+        # a non-finite GRADIENT with a finite value (autodiff where/overflow
+        # traps) must also map to the -inf sentinel: zeroing just the bad
+        # components would let the tree integrate corrupted dynamics with no
+        # divergence flag (the Pallas kernel flags the same case, and the
+        # two engines must agree)
+        ok = jnp.logical_and(jnp.isfinite(val),
+                             jnp.all(jnp.isfinite(grad), axis=-1))
         val = jnp.where(ok, val, -jnp.inf)
         grad = jnp.where(ok[..., None], grad, jnp.zeros_like(grad))
-        grad = jnp.where(jnp.isfinite(grad), grad, jnp.zeros_like(grad))
         return val, grad
 
     return evaluate

@@ -13,8 +13,11 @@ import numpy as _np
 from .base import Model
 
 # Classic data (Rubin 1981): treatment effects and standard errors.
-Y = jnp.asarray([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0])
-SIGMA = jnp.asarray([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
+# Host numpy, NOT device arrays: `import inplacedhmc_tpu` pulls this module
+# in, and materializing device constants here would initialize the backend
+# before the user can configure it (the package keeps imports cheap).
+Y = _np.asarray([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0])
+SIGMA = _np.asarray([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
 
 
 def _tile_logp(q, refs):
@@ -28,7 +31,10 @@ def _tile_logp(q, refs):
     log_tau = q[:, 1:2]
     tau = jnp.exp(log_tau)
     theta = mu + tau * q                      # meaningful only where om == 1
-    lp = -0.5 * (mu / 10.0) ** 2 - jnp.log1p((tau / 5.0) ** 2) + log_tau
+    # half-Cauchy in log_tau form: (tau/5)^2 overflows f32 at log_tau ~ 46
+    # while the true log density is finite to ~88 — spurious divergences
+    lp = -0.5 * (mu / 10.0) ** 2 \
+        - jnp.logaddexp(0.0, 2.0 * (log_tau - jnp.log(5.0))) + log_tau
     lp = lp - 0.5 * jnp.sum(om * q * q, axis=1, keepdims=True)
     resid = (y - theta) / (sig + (1.0 - om))
     lp = lp - 0.5 * jnp.sum(om * resid * resid, axis=1, keepdims=True)
@@ -59,8 +65,9 @@ def eight_schools() -> Model:
         tau = jnp.exp(log_tau)
         theta = mu + tau * z
         lp = -0.5 * (mu / 10.0) ** 2                     # mu ~ N(0, 10^2)
-        # tau ~ half-Cauchy(0, 5); log|dtau/dlog_tau| = log_tau
-        lp += -jnp.log1p((tau / 5.0) ** 2) + log_tau
+        # tau ~ half-Cauchy(0, 5); log|dtau/dlog_tau| = log_tau.  Stable
+        # log_tau form: (tau/5)^2 overflows f32 at log_tau ~ 46
+        lp += -jnp.logaddexp(0.0, 2.0 * (log_tau - jnp.log(5.0))) + log_tau
         lp += -0.5 * jnp.sum(z * z)                      # z ~ N(0, 1)
         sig = jnp.asarray(SIGMA, q.dtype)
         yy = jnp.asarray(Y, q.dtype)

@@ -81,7 +81,10 @@ class JsonLinesReport:
     _t0: float = 0.0
 
     def _emit(self, event: str, **kw):
-        print(json.dumps({"event": event, "stage": self._stage, "t": time.time(), **kw}),
+        # default=float: numpy/JAX scalars are natural reporter payloads
+        # (eps, acceptance); the logging path must never abort a run
+        print(json.dumps({"event": event, "stage": self._stage,
+                          "t": time.time(), **kw}, default=float),
               file=self.stream)
 
     def start_stage(self, name: str, total_steps: int = 0):
