@@ -97,7 +97,7 @@ def lbfgs_single(value_and_grad: Callable, q0: jnp.ndarray, iterations: int,
         dg = jnp.where(bad, -jnp.dot(s.g, s.g), dg)
 
         def ls_body(ls):
-            step, _, _, done, _ = ls
+            step, _, _, done, _, i = ls
             q_try = s.q + step * direction
             f_try, g_try = value_and_grad(q_try)
             # the GRADIENT must be finite too: a finite value with a NaN
@@ -110,14 +110,18 @@ def lbfgs_single(value_and_grad: Callable, q0: jnp.ndarray, iterations: int,
                                 jnp.all(jnp.isfinite(g_try))),
                 f_try <= s.f + 1e-4 * step * dg)
             return (jnp.where(ok, step, step * 0.5), f_try, g_try, ok,
-                    jnp.where(ok, q_try, s.q))
+                    jnp.where(ok, q_try, s.q), i + 1)
 
-        def ls_loop(i, ls):
-            return lax.cond(ls[3], lambda l: l, ls_body, ls)
+        # while_loop (not fori+cond): under vmap, cond lowers to select and
+        # every lane would pay all max_ls trial value_and_grad calls per
+        # L-BFGS iteration; the batched while_loop instead exits as soon as
+        # every lane has accepted (typically 1-3 trials at step=1).
+        def ls_cond(ls):
+            return jnp.logical_and(~ls[3], ls[5] < max_ls)
 
         init = (jnp.asarray(1.0, dtype), s.f, s.g, jnp.asarray(False),
-                s.q)
-        step, f_new, g_new, ok, q_new = lax.fori_loop(0, max_ls, ls_loop, ls_body(init))
+                s.q, jnp.asarray(0, jnp.int32))
+        step, f_new, g_new, ok, q_new, _ = lax.while_loop(ls_cond, ls_body, init)
 
         # curvature pair update (skip when line search failed or y·s <= 0)
         s_vec = q_new - s.q
