@@ -110,6 +110,43 @@ def lockstep_utilization(stats: TreeStats, max_depth: int = 10) -> float:
     return float(np.mean(steps.mean(axis=-1) / np.maximum(executed, 1)))
 
 
+def tiled_lockstep_utilization(stats: TreeStats, block_c: int,
+                               max_depth: int = 10) -> float:
+    """Lockstep utilization when chains execute in tiles of ``block_c``.
+
+    The whole-tree Pallas kernel (``ops/tree_pallas.py``) runs one grid
+    program per ``block_c`` chains with two early exits: a doubling block is
+    skipped once no row in the tile is still ACTIVE, and leaf iterations stop
+    once every row has died.  A tile therefore executes
+    ``2^(d_exit_tile) - 1`` leaf iterations where ``d_exit_tile`` is the
+    deepest doubling any chain *in that tile* completed — smaller tiles
+    straggle less.  This computes ``used / executed`` from recorded per-chain
+    statistics, which is exact for the doubling-block exit (leaf-level exits
+    inside an un-skipped block make the kernel strictly better than this
+    estimate).  ``block_c >= n_chains`` reproduces
+    :func:`lockstep_utilization`'s whole-batch economics.  Because depth is
+    algorithm-determined (independent of execution path), the curve over
+    ``block_c`` can be measured from ONE recorded run on any backend.
+    """
+    steps = np.asarray(stats.steps, np.float64)
+    depth = np.asarray(stats.depth)
+    if steps.ndim == 1:
+        steps = steps[None]
+        depth = depth[None]
+    n, c = depth.shape
+    pad = (-c) % block_c
+    if pad:
+        # padded rows start inactive in the kernel: they add no used steps
+        # and never extend a tile's exit depth
+        depth = np.concatenate([depth, np.full((n, pad), -1, depth.dtype)], 1)
+    tiles = depth.reshape(n, -1, block_c)                     # [N, T, BC]
+    d_exit = np.minimum(tiles.max(axis=-1) + 1, max_depth)    # [N, T]
+    # each tile executes block_c hardware rows regardless of padding, so
+    # padding waste from c % block_c != 0 is (honestly) counted as waste
+    executed = ((1 << np.maximum(d_exit, 0).astype(np.int64)) - 1) * block_c
+    return float(steps.sum() / np.maximum(executed.sum(), 1))
+
+
 # ---------------------------------------------------------------------------
 # split R-hat and ESS — on-device, jittable (north-star additions)
 # ---------------------------------------------------------------------------

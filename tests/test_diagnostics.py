@@ -134,3 +134,31 @@ def test_lockstep_utilization():
                             steps=jnp.asarray([15, 15, 15, 127], jnp.int32))
     u = diag.lockstep_utilization(stats2)
     assert 0.3 < u < 0.5, u
+
+
+def test_tiled_lockstep_utilization():
+    c = 4
+    base = TreeStats(
+        energy=jnp.zeros(c), acceptance_rate=jnp.ones(c) * 0.8,
+        termination=jnp.full(c, Termination.TURNING, jnp.int32),
+        term_left=jnp.zeros(c, jnp.int32), term_right=jnp.ones(c, jnp.int32),
+        depth=jnp.asarray([3, 3, 3, 6], jnp.int32),
+        steps=jnp.asarray([15, 15, 15, 127], jnp.int32))
+    # whole batch in one tile == the global lockstep number
+    u_all = diag.tiled_lockstep_utilization(base, block_c=4)
+    assert abs(u_all - diag.lockstep_utilization(base)) < 1e-9
+    # tiles of 2: [3,3] executes 15, [3,6] executes 127 -> tiling isolates
+    # the straggler and utilization improves
+    u2 = diag.tiled_lockstep_utilization(base, block_c=2)
+    expected = (15 + 15 + 15 + 127) / ((15 + 127) * 2)
+    assert abs(u2 - expected) < 1e-9
+    assert u2 > u_all
+    # padding counts as waste: 3 chains in tiles of 2 pads one dead row
+    pad = TreeStats(
+        energy=jnp.zeros(3), acceptance_rate=jnp.ones(3) * 0.8,
+        termination=jnp.full(3, Termination.TURNING, jnp.int32),
+        term_left=jnp.zeros(3, jnp.int32), term_right=jnp.ones(3, jnp.int32),
+        depth=jnp.asarray([3, 3, 3], jnp.int32),
+        steps=jnp.asarray([15, 15, 15], jnp.int32))
+    u3 = diag.tiled_lockstep_utilization(pad, block_c=2)
+    assert abs(u3 - 45 / 60) < 1e-9
