@@ -47,7 +47,7 @@ def main():
                            n_chains=args.chains, use_pallas="off",
                            keep_dims=[0])
     rows = []
-    for bc in [64, 128, 256, 512, 1024, args.chains]:
+    for bc in [32, 64, 128, 256, 512, 1024, args.chains]:
         u = diag.tiled_lockstep_utilization(out.stats, block_c=bc)
         row = {"block_c": bc, "utilization": round(u, 4)}
         rows.append(row)

@@ -116,6 +116,9 @@ def lbfgs_single(value_and_grad: Callable, q0: jnp.ndarray, iterations: int,
         # every lane would pay all max_ls trial value_and_grad calls per
         # L-BFGS iteration; the batched while_loop instead exits as soon as
         # every lane has accepted (typically 1-3 trials at step=1).
+        # NOTE: this bounds the budget at max_ls trials (smallest step
+        # 2^-(max_ls-1)), one fewer than the old fori formulation which ran
+        # ls_body once as its init — deliberate, irrelevant to warmup use.
         def ls_cond(ls):
             return jnp.logical_and(~ls[3], ls[5] < max_ls)
 

@@ -120,6 +120,18 @@ class TuningNUTS:
 WarmupStage = Union[FindLocalOptimum, InitialStepsizeSearch, TuningNUTS, None]
 
 
+class StepsizeCollapseError(RuntimeError):
+    """Adaptation drove the step size out of sane bounds.
+
+    The reference aborts a tuning window when the dual-averaged eps collapses
+    (``/root/reference/src/warmup.jl:289-296``: ``ϵ < 1e-10`` throws with the
+    offending state).  Here the guard runs in the driver at every window /
+    chunk boundary (one scalar fetch) and carries the window's acceptance
+    statistics so a 10k-chain run poisoned by one bad window fails loudly
+    with a diagnosis instead of sampling at eps ~ 0 for hours.
+    """
+
+
 def default_warmup_stages(
     local_optimization: Optional[FindLocalOptimum] = FindLocalOptimum(),
     stepsize_search: Optional[InitialStepsizeSearch] = InitialStepsizeSearch(),

@@ -50,10 +50,17 @@ from .common import chain_tiles
 from .common import round_up as _round_up
 
 
-# float column indices in the colf [BC, 16] scratch
-OMEGA, OMEGA_SUB, PROP_DELTA, PROP_LOGP, SUB_DELTA, SUB_LOGP, LSA, SIGN, PI0, EPS = range(10)
+# float column indices in the colf [BC, 16] scratch.  SUM_ALPHA accumulates
+# Σ exp(min(Δ, 0)) in LINEAR space (each term <= 1, <= 2^max_depth terms — no
+# overflow and full f32 precision), replacing a per-leaf logaddexp (2
+# transcendentals) with one exp+add; the log is taken once at kernel exit.
+# TURNF is the per-leaf turn flag written inside the scalar-predicated check
+# levels (see leaf_body).
+(OMEGA, OMEGA_SUB, PROP_DELTA, PROP_LOGP, SUB_DELTA, SUB_LOGP, SUM_ALPHA,
+ SIGN, PI0, EPS, TURNF) = range(11)
 # int column indices in the coli [BC, 16] scratch
-I_LEFT, I_RIGHT, I_BASE, STEPS, TERM, TL, TR, DEPTH, ACTIVE, ALIVE, DIED_DIV, DIED_TURN, DIE_L, DIE_R, DIRS = range(15)
+(I_LEFT, I_RIGHT, I_BASE, STEPS, TERM, TL, TR, DEPTH, ACTIVE, ALIVE,
+ DIED_DIV, DIED_TURN, DIE_L, DIE_R, DIRS, TURNP) = range(16)
 
 
 def _uniform_from_bits(shape):
@@ -188,7 +195,7 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
         setf(OMEGA, zf); setf(OMEGA_SUB, zf + neg_inf)
         setf(PROP_DELTA, zf); setf(PROP_LOGP, logp0)
         setf(SUB_DELTA, zf); setf(SUB_LOGP, logp0)
-        setf(LSA, zf + neg_inf); setf(SIGN, zf + 1.0)
+        setf(SUM_ALPHA, zf); setf(SIGN, zf + 1.0)
         setf(PI0, pi0); setf(EPS, eps_ref[:])
         seti(I_LEFT, zi); seti(I_RIGHT, zi); seti(I_BASE, zi)
         seti(STEPS, zi); seti(TERM, zi + term_max_depth)
@@ -247,12 +254,13 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 ps_new = jnp.where(jnp.isfinite(ps_new), ps_new, 0.0)
                 i_new = geti(I_BASE) + (n + 1) * signi
 
-                # visited stats (NUTS.jl:58-86)
+                # visited stats (NUTS.jl:58-86) — linear-space accumulation:
+                # exp(min(Δ,0)) ∈ [0,1] (Δ=-inf gives exactly 0), so the sum
+                # is bounded by the leaf count and loses no precision, while
+                # saving the per-leaf logaddexp transcendentals
                 if "stats" not in ablate:
-                    setf(LSA, jnp.where(mask,
-                                        jnp.logaddexp(getf(LSA),
-                                                      jnp.minimum(delta, 0.0)),
-                                        getf(LSA)))
+                    setf(SUM_ALPHA, getf(SUM_ALPHA)
+                         + maskf * jnp.exp(jnp.minimum(delta, 0.0)))
                     seti(STEPS, geti(STEPS) + mask.astype(jnp.int32))
 
                 # checkpoint store: even leaves to slot popcount(n>>1), odd
@@ -275,31 +283,46 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 s_cum[:] = s_cum[:] + maskf * p_new
 
                 # within-subtree U-turn checks, innermost-first; at subtree
-                # depth d only levels m < d can close
-                turning = jnp.zeros((bc, 1), jnp.bool_)
-                turn_pos = zi
+                # depth d only levels m < d can close.  Validity of level m
+                # is m < trailing_ones(n) — a SCALAR predicate (the leaf
+                # index n is lockstep-global), so each level runs under
+                # pl.when: the expected number of executed levels per leaf is
+                # Σ 2^-k ≈ 1 instead of d (ablation: the unconditional
+                # unroll was 1.44x of kernel time at depth 7,
+                # benchmarks/ablate_results.json).  Results cross leaf-level
+                # pl.when scopes through the TURNF/TURNP scratch columns.
                 sc = s_cum[:]
                 if d_level > 0 and "turns" not in ablate:
                     t_ones = _trailing_ones(n)
                     idx_max = _popcount(n >> 1)
+                    setf(TURNF, zf)
+                    seti(TURNP, zi)
                     for m in range(d_level):
-                        lvl_valid = m < t_ones
-                        j = jnp.maximum(idx_max - m, 0)
-                        rho_node = sc - ckpt_s[pl.ds(j, 1)][0] \
-                            .astype(jnp.float32)
-                        psl = ckpt_ps[pl.ds(j, 1)][0] \
-                            .astype(jnp.float32)
-                        t = jnp.logical_and(
-                            lvl_valid,
-                            jnp.logical_or(
+                        @pl.when(m < t_ones)
+                        def _chk(m=m):
+                            # m < t_ones(n) implies n odd, so
+                            # idx_max = popcount(n) - 1 >= t_ones(n) - 1 >= m
+                            # and the slot index is never negative
+                            j = idx_max - m
+                            rho_node = sc - ckpt_s[pl.ds(j, 1)][0] \
+                                .astype(jnp.float32)
+                            psl = ckpt_ps[pl.ds(j, 1)][0] \
+                                .astype(jnp.float32)
+                            t = jnp.logical_or(
                                 jnp.sum(rho_node * psl, axis=1,
                                         keepdims=True) < 0,
                                 jnp.sum(rho_node * ps_new, axis=1,
-                                        keepdims=True) < 0))
-                        l_pos = geti(I_BASE) + (n - (1 << (m + 1)) + 2) * signi
-                        turn_pos = jnp.where(jnp.logical_and(t, ~turning),
-                                             l_pos, turn_pos)
-                        turning = jnp.logical_or(turning, t)
+                                        keepdims=True) < 0)
+                            l_pos = geti(I_BASE) \
+                                + (n - (1 << (m + 1)) + 2) * signi
+                            fresh = jnp.logical_and(t, getf(TURNF) <= 0.0)
+                            seti(TURNP, jnp.where(fresh, l_pos, geti(TURNP)))
+                            setf(TURNF, jnp.where(t, 1.0, getf(TURNF)))
+                    turning = getf(TURNF) > 0.0
+                    turn_pos = geti(TURNP)
+                else:
+                    turning = jnp.zeros((bc, 1), jnp.bool_)
+                    turn_pos = zi
                 turning = jnp.logical_and(turning, ~divergent)
 
                 # progressive subtree proposal (unbiased multinomial)
@@ -322,18 +345,27 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 died_div = jnp.logical_and(mask, divergent)
                 died_turn = jnp.logical_and(mask, turning)
                 died = jnp.logical_or(died_div, died_turn)
-                if "stats" not in ablate:
-                    seti(DIE_L, jnp.where(died_div, i_new,
-                                          jnp.where(died_turn,
-                                                    jnp.minimum(turn_pos, i_new),
-                                                    geti(DIE_L))))
-                    seti(DIE_R, jnp.where(died_div, i_new,
-                                          jnp.where(died_turn,
-                                                    jnp.maximum(turn_pos, i_new),
-                                                    geti(DIE_R))))
-                seti(DIED_DIV, geti(DIED_DIV) | died_div.astype(jnp.int32))
-                seti(DIED_TURN, geti(DIED_TURN) | died_turn.astype(jnp.int32))
-                seti(ALIVE, jnp.where(died, 0, geti(ALIVE)))
+
+                # failure records fire at most once per chain per subtree;
+                # skip all five column read-modify-writes on quiet leaves
+                # (one scalar reduce per leaf buys ~4 vector column ops)
+                @pl.when(jnp.sum(died.astype(jnp.int32)) > 0)
+                def _record_deaths():
+                    if "stats" not in ablate:
+                        seti(DIE_L, jnp.where(
+                            died_div, i_new,
+                            jnp.where(died_turn,
+                                      jnp.minimum(turn_pos, i_new),
+                                      geti(DIE_L))))
+                        seti(DIE_R, jnp.where(
+                            died_div, i_new,
+                            jnp.where(died_turn,
+                                      jnp.maximum(turn_pos, i_new),
+                                      geti(DIE_R))))
+                    seti(DIED_DIV, geti(DIED_DIV) | died_div.astype(jnp.int32))
+                    seti(DIED_TURN,
+                         geti(DIED_TURN) | died_turn.astype(jnp.int32))
+                    seti(ALIVE, jnp.where(died, 0, geti(ALIVE)))
                 return 0
 
             return leaf_body
@@ -440,7 +472,9 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
         out_grad[:] = g_out
         out_logp[:] = getf(PROP_LOGP)
         out_energy[:] = getf(PROP_DELTA) + getf(PI0)
-        out_lsa[:] = getf(LSA)
+        # back to log space once per transition (0 -> -inf, matching the
+        # logaddexp formulation's neg-inf init)
+        out_lsa[:] = jnp.log(getf(SUM_ALPHA))
         out_term[:] = geti(TERM)
         out_tl[:] = geti(TL)
         out_tr[:] = geti(TR)
@@ -715,6 +749,45 @@ def make_gaussian_tree_transition(precision, metric_inv, *, max_depth: int = 10,
                                 metric_inv, max_depth=max_depth,
                                 min_delta=min_delta, block_c=block_c,
                                 interpret=interpret, ckpt_bf16=ckpt_bf16,
+                                _ablate=_ablate)
+
+
+def _dense_gaussian_tile_logp(q, refs):
+    g = -jax.lax.dot_general(q, refs["prec"][:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    return 0.5 * jnp.sum(g * q, axis=1, keepdims=True)
+
+
+def _dense_gaussian_tile_vg(q, refs):
+    # symmetric precision: grad = -P q is ONE MXU matmul; the log density
+    # 0.5 * q . grad falls out of the same product (NUTS.jl:159-169 ethos)
+    g = -jax.lax.dot_general(q, refs["prec"][:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    return 0.5 * jnp.sum(g * q, axis=1, keepdims=True), g
+
+
+def make_dense_gaussian_tree_transition(precision, metric_inv, *,
+                                        max_depth: int = 10,
+                                        min_delta: float = -1000.0,
+                                        block_c: int = 256,
+                                        interpret: bool = False,
+                                        ckpt_bf16: bool = False,
+                                        _ablate: frozenset = frozenset()):
+    """Whole-transition kernel for dense-precision Gaussian targets
+    (``models/gaussian.py::mvn``): ``grad = -P q`` is one ``[BC, dpad] @
+    [dpad, dpad]`` MXU matmul per leaf (the hand-fused value+gradient shares
+    it).  ``precision`` must be symmetric.  Pads ``P`` with an identity block
+    on the dead lanes' diagonal — harmless (q lanes are masked) but keeps the
+    padded quadratic form non-degenerate for the in-kernel energies."""
+    precision = jnp.asarray(precision, jnp.float32)
+    d = precision.shape[0]
+    dpad = _round_up(d, 128)
+    prec_pad = jnp.eye(dpad, dtype=jnp.float32).at[:d, :d].set(precision)
+    return make_tree_transition(_dense_gaussian_tile_logp, {"prec": prec_pad},
+                                d, metric_inv, max_depth=max_depth,
+                                min_delta=min_delta, block_c=block_c,
+                                interpret=interpret, ckpt_bf16=ckpt_bf16,
+                                tile_value_grad=_dense_gaussian_tile_vg,
                                 _ablate=_ablate)
 
 

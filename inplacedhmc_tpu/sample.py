@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 from .adapt import warmup as W
 from .config import (DualAveraging, FindLocalOptimum, InitialStepsizeSearch,
-                     NUTS, TuningNUTS, default_warmup_stages)
+                     NUTS, StepsizeCollapseError, TuningNUTS,
+                     default_warmup_stages)
 from .core.hamiltonian import batched_logdensity_and_grad
 from .core.metric import Metric
 from .core.state import TreeStats, WarmupState
@@ -78,6 +79,40 @@ def _merge_blocks(blocks, z_cur, mom=None):
         lambda *xs: cat(xs, axis=0) if xs[0].ndim else xs[0],
         *[b.stats for b in blocks])
     return W.SamplingResult(z=z_cur, draws=draws, stats=stats, moments=mom)
+
+
+#: sanity bounds on the tuned step size, checked at every tuning-window (and
+#: chunk) boundary — the reference's in-window assertion, warmup.jl:289-296
+EPS_COLLAPSE_MIN = 1e-10
+EPS_SANE_MAX = 1e10
+
+
+def _check_eps_sane(log_eps, where: str, stats: Optional[TreeStats] = None):
+    """Driver-side ϵ-collapse guard (``warmup.jl:289-296``): one tiny fetch of
+    the per-chain min/max step size; raises :class:`StepsizeCollapseError`
+    with the offending window's acceptance/divergence summary."""
+    eps = jnp.exp(jnp.atleast_1d(log_eps))
+    lo, hi = float(jnp.min(eps)), float(jnp.max(eps))
+    import math
+    if math.isfinite(lo) and math.isfinite(hi) \
+            and lo >= EPS_COLLAPSE_MIN and hi <= EPS_SANE_MAX:
+        return
+    detail = ""
+    if stats is not None:
+        from .core.state import Termination
+        acc = jnp.asarray(stats.acceptance_rate)
+        div = jnp.mean((jnp.asarray(stats.termination)
+                        == Termination.DIVERGENCE).astype(jnp.float32))
+        detail = (f"; window acceptance mean={float(jnp.mean(acc)):.4g} "
+                  f"min={float(jnp.min(acc)):.4g}, "
+                  f"divergent fraction={float(div):.4g}")
+    raise StepsizeCollapseError(
+        f"step size out of sane bounds after {where}: eps in "
+        f"[{lo:.3g}, {hi:.3g}] (allowed [{EPS_COLLAPSE_MIN:g}, "
+        f"{EPS_SANE_MAX:g}]){detail}. The target geometry is likely "
+        f"pathological at the current positions (cf. reference "
+        f"warmup.jl:289-296); inspect the window's tree statistics or "
+        f"loosen the schedule.")
 
 
 def _shard_map_transition(trans, mesh, axis_name: str):
@@ -171,7 +206,7 @@ class NUTSKernel:
         # (benchmarks/logistic_ab_c2048.json: 3.8M vs 6.1M steps/s — the
         # D=50->128 lane padding costs 2.5x MXU work), so they stay on the
         # XLA tree + fused Pallas potential unless forced with "tree".
-        auto_kinds = ("diag_gaussian", "tile_logp")
+        auto_kinds = ("diag_gaussian", "dense_gaussian", "tile_logp")
         tree_kinds = auto_kinds + ("logistic",)
         wanted = tree_kinds if use_pallas == "tree" else auto_kinds
         if use_pallas in ("tree", "auto") and st is not None \
@@ -179,7 +214,8 @@ class NUTSKernel:
             # whole-transition Pallas kernel (ops/tree_pallas.py): the entire
             # NUTS tree runs in VMEM.  f32, diagonal or dense shared metric.
             from .core.metric import DenseMetric, DiagMetric
-            from .ops.tree_pallas import (make_gaussian_tree_transition,
+            from .ops.tree_pallas import (make_dense_gaussian_tree_transition,
+                                          make_gaussian_tree_transition,
                                           make_logistic_tree_transition,
                                           make_tree_transition)
             algo = self.algorithm
@@ -219,6 +255,11 @@ class NUTSKernel:
                     return None
                 if kind == "diag_gaussian":
                     trans = make_gaussian_tree_transition(
+                        st["precision"], metric, max_depth=algo.max_depth,
+                        min_delta=algo.min_delta, interpret=tree_interp,
+                        **topts)
+                elif kind == "dense_gaussian":
+                    trans = make_dense_gaussian_tree_transition(
                         st["precision"], metric, max_depth=algo.max_depth,
                         min_delta=algo.min_delta, interpret=tree_interp,
                         **topts)
@@ -385,6 +426,7 @@ class NUTSKernel:
             elif isinstance(stage, InitialStepsizeSearch):
                 reporter.start_stage("initial stepsize search")
                 state = self._search_fn(stage)(sub, state)
+                _check_eps_sane(state.log_eps, "initial stepsize search")
                 eps = float(jnp.exp(jnp.atleast_1d(state.log_eps))[0])
                 reporter.end_stage(eps=eps)
             elif isinstance(stage, TuningNUTS):
@@ -416,6 +458,12 @@ class NUTSKernel:
                         z_cur, da, mom = res.z, res.da, res.mom
                         parts.append(res)
                         done += nb
+                        if adapting:
+                            # in-window collapse check, once per chunk (the
+                            # reference checks every transition, warmup.jl:289)
+                            _check_eps_sane(
+                                jnp.log(W.da_current_eps(da)),
+                                f"tuning chunk {done}/{stage.n}", res.stats)
                         if sync_blocks:
                             _sync_fence(z_cur)
                         reporter.step(done)
@@ -426,6 +474,8 @@ class NUTSKernel:
                         *[r.stats for r in parts]))
                     state = self._finalize_tuning_fn(stage)(state, z_cur, da,
                                                             qs, mom)
+                _check_eps_sane(state.log_eps, f"tuning window ({stage.n})",
+                                warmup_stats[-1] if warmup_stats else None)
                 eps = float(jnp.exp(jnp.atleast_1d(state.log_eps))[0])
                 reporter.end_stage(eps=eps)
             else:

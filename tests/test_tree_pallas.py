@@ -381,3 +381,70 @@ def test_funnel_tree_kernel_divergences_survive():
     assert np.isfinite(d).all()
     v = d[..., 0]
     assert abs(v.mean()) < 1.5 and 1.2 < v.std() < 4.0
+
+
+def test_dense_gaussian_tree_kernel_matches_xla_tree():
+    """mvn (dense-precision Gaussian) on the whole-tree kernel: grad = -P q is
+    one MXU matmul per leaf (make_dense_gaussian_tree_transition).  Same
+    momentum/directions as the XLA tree => identical deterministic fields.
+    Closes VERDICT r2 'dead structure kind dense_gaussian'."""
+    from inplacedhmc_tpu.core.metric import diag_metric
+    from inplacedhmc_tpu.models import mvn
+    from inplacedhmc_tpu.nuts.tree import nuts_transition
+    from inplacedhmc_tpu.ops.tree_pallas import \
+        make_dense_gaussian_tree_transition
+
+    d, c = 6, 12
+    rng = np.random.default_rng(23)
+    a = rng.normal(size=(d, d)).astype(np.float32)
+    cov = (a @ a.T / d + np.eye(d, dtype=np.float32))
+    model = mvn(jnp.asarray(cov))
+    prec = model.structure["precision"]
+    minv = (rng.gamma(3.0, size=d) * 0.5 + 0.5).astype(np.float32)
+
+    q0 = rng.normal(size=(c, d)).astype(np.float32)
+    p0 = rng.normal(size=(c, d)).astype(np.float32)
+    dirs = rng.integers(0, 2**32, size=c, dtype=np.uint32)
+
+    pot = batched_logdensity_and_grad(model.logp)
+    lp, g = pot(jnp.asarray(q0))
+    z = EvalPoint(q=jnp.asarray(q0), logp=lp, grad=g)
+
+    metric = diag_metric(jnp.asarray(minv))
+    z_ref, st_ref = nuts_transition(jax.random.PRNGKey(0), pot, metric, z,
+                                    jnp.asarray(0.3, jnp.float32), max_depth=5,
+                                    directions=jnp.asarray(dirs),
+                                    momentum=jnp.asarray(p0))
+    tr = make_dense_gaussian_tree_transition(prec, jnp.asarray(minv),
+                                             max_depth=5, block_c=16,
+                                             interpret=True)
+    z_pal, st_pal = tr(jax.random.PRNGKey(0), z, 0.3,
+                       directions=jnp.asarray(dirs), momentum=jnp.asarray(p0))
+
+    np.testing.assert_array_equal(np.asarray(st_pal.termination),
+                                  np.asarray(st_ref.termination))
+    np.testing.assert_array_equal(np.asarray(st_pal.depth),
+                                  np.asarray(st_ref.depth))
+    np.testing.assert_array_equal(np.asarray(st_pal.steps),
+                                  np.asarray(st_ref.steps))
+    np.testing.assert_allclose(np.asarray(st_pal.acceptance_rate),
+                               np.asarray(st_ref.acceptance_rate), atol=5e-4)
+    # the fused tile physics agrees with the model density at the proposal
+    lp_pal = np.asarray(z_pal.logp)
+    lp_want = np.asarray(jax.vmap(model.logp)(z_pal.q))
+    np.testing.assert_allclose(lp_pal, lp_want, rtol=2e-5, atol=2e-4)
+
+
+def test_mvn_auto_selects_dense_gaussian_kernel():
+    """NUTSKernel 'tree' mode builds a transition factory for the
+    dense_gaussian structure (previously silently ignored)."""
+    from inplacedhmc_tpu.config import NUTS
+    from inplacedhmc_tpu.core.metric import identity_metric
+    from inplacedhmc_tpu.models import mvn
+    from inplacedhmc_tpu.sample import NUTSKernel
+
+    cov = np.eye(4, dtype=np.float32) + 0.3
+    kern = NUTSKernel(mvn(jnp.asarray(cov)), NUTS(), use_pallas="tree")
+    assert kern.transition_factory is not None
+    trans = kern.transition_factory(identity_metric(4, jnp.float32), 16)
+    assert trans is not None
