@@ -163,9 +163,22 @@ def run_sharded(key, model, n_draws: int, n_chains: int, *, mesh: Mesh,
     when the model/metric qualify they run under an explicit ``shard_map``
     over the chain axis (one kernel invocation per device shard).  Requires
     ``n_chains % mesh.size == 0``.
+
+    **Multi-process (multi-host)**: pass a mesh over the GLOBAL device set
+    after ``parallel.multiprocess.initialize()`` and run this same call on
+    every process (launch recipe: docs/MULTIHOST.md; 2-process CPU rehearsal:
+    tests/test_multiprocess.py).  Per-host asymmetries are handled here:
+    progress reporting comes from the coordinator only, checkpoints are
+    per-process files holding each host's local chain rows, and — for
+    checkpointed runs — ``result.draws``/``stats`` are this host's local rows
+    (compute cross-chain summaries from the streamed ``sample_moments`` /
+    ``sample_sketch``, which stay global + replicated).
     """
     from ..config import NUTS, DualAveraging, default_warmup_stages
     from ..sample import _kernel
+    from .multiprocess import coordinator_only
+
+    reporter = coordinator_only(reporter)
 
     n_chain_devs = (mesh.shape[axis_name]
                     if axis_name in mesh.axis_names else mesh.size)

@@ -20,10 +20,16 @@ import numpy as np
 
 from ..core.metric import DenseMetric, DiagMetric, LowRankMetric
 from ..core.state import EvalPoint, WarmupState
+from ..parallel.multiprocess import per_process_path, to_host
 
 
 def save_warmup_checkpoint(path: str, state: WarmupState, key, stage_idx: int):
-    """Atomically write the warmup state to ``path`` (.npz)."""
+    """Atomically write the warmup state to ``path`` (.npz).
+
+    Multi-process runs: every process writes its *own* file
+    (``per_process_path``) holding its local chain rows — hosts never race on
+    one file, and each host's payload is O(local chains), not O(global)."""
+    path = per_process_path(path)
     metric = state.metric
     if isinstance(metric, DiagMetric):
         kind, inv, aux = "diag", metric.inv, metric.sqrt_mass
@@ -32,20 +38,20 @@ def save_warmup_checkpoint(path: str, state: WarmupState, key, stage_idx: int):
     else:
         kind, inv, aux = "low_rank", metric.diag_inv, metric.u
     payload = {
-        "q": np.asarray(state.z.q),
-        "logp": np.asarray(state.z.logp),
-        "grad": np.asarray(state.z.grad),
-        "key": np.asarray(key),
+        "q": to_host(state.z.q),
+        "logp": to_host(state.z.logp),
+        "grad": to_host(state.z.grad),
+        "key": to_host(key),
         "stage_idx": np.asarray(stage_idx),
         "metric_kind": np.asarray(kind),
-        "metric_inv": np.asarray(inv),
-        "metric_aux": np.asarray(aux),
+        "metric_inv": to_host(inv),
+        "metric_aux": to_host(aux),
         "has_eps": np.asarray(state.log_eps is not None),
     }
     if isinstance(metric, LowRankMetric):
-        payload["metric_w"] = np.asarray(metric.w)
+        payload["metric_w"] = to_host(metric.w)
     if state.log_eps is not None:
-        payload["log_eps"] = np.asarray(state.log_eps)
+        payload["log_eps"] = to_host(state.log_eps)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **payload)
@@ -53,8 +59,12 @@ def save_warmup_checkpoint(path: str, state: WarmupState, key, stage_idx: int):
 
 
 def load_warmup_checkpoint(path: str) -> Tuple[WarmupState, jnp.ndarray, int]:
-    """Load ``(state, key, stage_idx)`` written by :func:`save_warmup_checkpoint`."""
-    with np.load(path, allow_pickle=False) as z:
+    """Load ``(state, key, stage_idx)`` written by :func:`save_warmup_checkpoint`.
+    Multi-process: reads this process's file; the returned arrays hold LOCAL
+    chain rows — re-globalize with
+    :func:`~inplacedhmc_tpu.parallel.multiprocess.tree_make_global_like`
+    (the driver does, ``warmup_with_checkpoints``)."""
+    with np.load(per_process_path(path), allow_pickle=False) as z:
         ev = EvalPoint(q=jnp.asarray(z["q"]), logp=jnp.asarray(z["logp"]),
                        grad=jnp.asarray(z["grad"]))
         kind = str(z["metric_kind"])
@@ -97,8 +107,9 @@ def append_sampling_block(path: str, start: int, count: int, blk):
     from ..adapt.warmup import SamplingResult
     from ..core.state import TreeStats
 
-    draws = np.asarray(blk.draws)
-    stats = TreeStats(**{n: np.asarray(getattr(blk.stats, n))
+    path = per_process_path(path)
+    draws = to_host(blk.draws)
+    stats = TreeStats(**{n: to_host(getattr(blk.stats, n))
                          for n in blk.stats._fields})
     host = SamplingResult(z=None, draws=draws, stats=stats)
     d = _blocks_dir(path)
@@ -177,9 +188,10 @@ def save_sampling_checkpoint(path: str, z: EvalPoint, key, done: int):
     completion in one call, ``mcmc.jl:94-106``, and cannot resume).  Draw
     blocks themselves are persisted incrementally by
     :func:`append_sampling_block`."""
+    path = per_process_path(path)
     payload = {
-        "q": np.asarray(z.q), "logp": np.asarray(z.logp),
-        "grad": np.asarray(z.grad), "key": np.asarray(key),
+        "q": to_host(z.q), "logp": to_host(z.logp),
+        "grad": to_host(z.grad), "key": to_host(key),
         "done": np.asarray(done),
     }
     tmp = path + ".tmp"
@@ -197,6 +209,7 @@ def load_sampling_checkpoint(path: str):
     from ..adapt.warmup import SamplingResult
     from ..core.state import TreeStats
 
+    path = per_process_path(path)
     if not os.path.exists(path):
         _reset_blocks_dir(path)  # stale blocks from a previous run here
         return None
@@ -215,12 +228,12 @@ def load_sampling_checkpoint(path: str):
 
 
 def _acov_payload(prefix, a, payload):
-    payload[prefix + "qref"] = np.asarray(a.qref)
-    payload[prefix + "ring"] = np.asarray(a.ring)
-    payload[prefix + "s1"] = np.asarray(a.s1)
-    payload[prefix + "lag"] = np.asarray(a.lag)
-    payload[prefix + "cnt_lag"] = np.asarray(a.cnt_lag)
-    payload[prefix + "cnt"] = np.asarray(a.cnt)
+    payload[prefix + "qref"] = to_host(a.qref)
+    payload[prefix + "ring"] = to_host(a.ring)
+    payload[prefix + "s1"] = to_host(a.s1)
+    payload[prefix + "lag"] = to_host(a.lag)
+    payload[prefix + "cnt_lag"] = to_host(a.cnt_lag)
+    payload[prefix + "cnt"] = to_host(a.cnt)
 
 
 def _acov_load(prefix, f):
@@ -242,26 +255,27 @@ def save_lean_checkpoint(path: str, z: EvalPoint, key, done: int,
     incrementally by :func:`append_sampling_block` (draws may be zero-width
     in ``store_draws=False`` mode), so this save is O(C·D) regardless of how
     long the run is."""
+    path = per_process_path(path)
     payload = {
-        "q": np.asarray(z.q), "logp": np.asarray(z.logp),
-        "grad": np.asarray(z.grad), "key": np.asarray(key),
+        "q": to_host(z.q), "logp": to_host(z.logp),
+        "grad": to_host(z.grad), "key": to_host(key),
         "done": np.asarray(done),
         "has_mom": np.asarray(mom is not None),
         "has_sketch": np.asarray(sketch is not None),
     }
     if mom is not None:
-        payload.update(mom_qref=np.asarray(mom.qref), mom_cnt=np.asarray(mom.cnt),
-                       mom_s1=np.asarray(mom.s1), mom_s2=np.asarray(mom.s2))
+        payload.update(mom_qref=to_host(mom.qref), mom_cnt=to_host(mom.cnt),
+                       mom_s1=to_host(mom.s1), mom_s2=to_host(mom.s2))
     if sketch is not None:
         rk = sketch.rank
-        payload.update(rk_lo=np.asarray(rk.lo), rk_width=np.asarray(rk.width),
-                       rk_counts=np.asarray(rk.counts))
+        payload.update(rk_lo=to_host(rk.lo), rk_width=to_host(rk.width),
+                       rk_counts=to_host(rk.counts))
         _acov_payload("ac_", sketch.acov, payload)
         payload["has_tail"] = np.asarray(sketch.tail is not None)
         if sketch.tail is not None:
             t = sketch.tail
-            payload.update(tail_q05=np.asarray(t.q05), tail_q95=np.asarray(t.q95),
-                           tail_start=np.asarray(t.start))
+            payload.update(tail_q05=to_host(t.q05), tail_q95=to_host(t.q95),
+                           tail_start=to_host(t.start))
             _acov_payload("tlo_", t.lo, payload)
             _acov_payload("thi_", t.hi, payload)
     tmp = path + ".tmp"
@@ -280,6 +294,7 @@ def load_lean_checkpoint(path: str):
     from ..core.state import TreeStats
     from ..sketch import RankHistSketch, StreamSketch, TailSketch
 
+    path = per_process_path(path)
     if not os.path.exists(path):
         _reset_blocks_dir(path)  # stale blocks from a previous run here
         return None
@@ -326,8 +341,19 @@ def warmup_with_checkpoints(kernel, key, state: WarmupState, stages,
     and resuming from ``path`` if it exists.  Returns ``(state, warmup_stats)``
     (stats only from stages run in this process)."""
     start = 0
-    if os.path.exists(path):
+    if os.path.exists(per_process_path(path)):
+        like = state
         state, key, start = load_warmup_checkpoint(path)
+        if jax.process_count() > 1:
+            # per-process files hold local chain rows; rebuild global arrays
+            # with the incoming (sharded) state's mesh
+            from ..parallel.multiprocess import (make_global_by_shape,
+                                                 reglobalize_resume)
+            n_chains = like.z.q.shape[0]
+            state = WarmupState(
+                z=reglobalize_resume(state.z, like.z.q, n_chains),
+                metric=reglobalize_resume(state.metric, like.z.q, n_chains),
+                log_eps=reglobalize_resume(state.log_eps, like.z.q, n_chains))
     warmup_stats = []
     stages = list(stages)
     for idx in range(start, len(stages)):
