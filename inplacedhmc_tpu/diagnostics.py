@@ -124,7 +124,11 @@ def tiled_lockstep_utilization(stats: TreeStats, block_c: int,
     statistics, which is exact for the doubling-block exit (leaf-level exits
     inside an un-skipped block make the kernel strictly better than this
     estimate).  ``block_c >= n_chains`` reproduces
-    :func:`lockstep_utilization`'s whole-batch economics.  Because depth is
+    :func:`lockstep_utilization` for a single transition; over multiple
+    transitions this is the work-weighted aggregate ``sum(used) /
+    sum(executed)`` while that function averages per-transition ratios, so
+    the two diverge whenever exit depth varies across transitions (the
+    work-weighted form is what wall-clock follows).  Because depth is
     algorithm-determined (independent of execution path), the curve over
     ``block_c`` can be measured from ONE recorded run on any backend.
     """

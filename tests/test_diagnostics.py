@@ -162,3 +162,29 @@ def test_tiled_lockstep_utilization():
         steps=jnp.asarray([15, 15, 15], jnp.int32))
     u3 = diag.tiled_lockstep_utilization(pad, block_c=2)
     assert abs(u3 - 45 / 60) < 1e-9
+
+
+def test_tiled_vs_plain_utilization_multi_transition():
+    """Over N>1 transitions the two utilization functions aggregate
+    differently by design: lockstep_utilization averages per-transition
+    ratios, tiled_lockstep_utilization is the work-weighted global
+    sum(used)/sum(executed) — they diverge when exit depth varies across
+    transitions (ADVICE r2)."""
+    c = 2
+    mk = lambda depth, steps: TreeStats(
+        energy=jnp.zeros((2, c)), acceptance_rate=jnp.ones((2, c)) * 0.8,
+        termination=jnp.full((2, c), Termination.TURNING, jnp.int32),
+        term_left=jnp.zeros((2, c), jnp.int32),
+        term_right=jnp.ones((2, c), jnp.int32),
+        depth=jnp.asarray(depth, jnp.int32),
+        steps=jnp.asarray(steps, jnp.int32))
+    # transition 0: both chains depth 3 (executed 15, used 30)
+    # transition 1: one straggler depth 6 (executed 127, used 30)
+    stats = mk([[3, 3], [3, 6]], [[15, 15], [15, 15]])
+    plain = diag.lockstep_utilization(stats)
+    tiled = diag.tiled_lockstep_utilization(stats, block_c=2)
+    # per-transition ratios: 1.0 and 30/254 -> mean 0.559
+    assert abs(plain - 0.5 * (1.0 + 30 / 254)) < 1e-9
+    # work-weighted: (30 + 30) / (30 + 254) = 0.211
+    assert abs(tiled - 60 / 284) < 1e-9
+    assert tiled < plain
