@@ -231,12 +231,62 @@ def _one_transition(k, z, eps, *, metric, potential, algorithm,
     return z2, stats
 
 
+#: EMA decay for work-sorted scheduling: ~4-transition memory — long enough
+#: to smooth the per-transition depth noise, short enough to track a chain
+#: drifting between geometric regimes (funnel neck <-> mouth)
+_SCHED_DECAY = 0.75
+
+
+def _sched_init(z, schedule):
+    """Per-chain predicted-work EMA carry (None disables scheduling)."""
+    if schedule is None:
+        return None
+    return jnp.zeros((z.q.shape[0],), jnp.float32)
+
+
+def _scheduled_transition(k, z, ema, eps, **kw):
+    """Work-sorted chain scheduling around :func:`_one_transition`.
+
+    The whole-tree Pallas kernel executes chains in tiles with per-tile early
+    exits (``ops/tree_pallas.py``), so a tile pays for its *deepest* member.
+    On targets with position-persistent depth (funnel: measured utilization
+    0.23; the loss concentrates deep chains randomly across all tiles), a
+    stable sort by a per-chain EMA of leapfrog steps packs similar-work
+    chains into the same tiles, letting shallow tiles exit early.
+
+    Exactness: chains are exchangeable and the permutation is measurable
+    w.r.t. the past, so permuting before and inverting after the transition
+    composes valid Markov kernels per chain — draws, stats, moments and
+    checkpoints all stay in original chain coordinates (per-chain R-hat/ESS
+    time series remain coherent).  Only the RNG-to-chain pairing changes
+    (momenta are iid across positions).  The reference never needs this: one
+    chain per thread pays no lockstep waste (``mcmc.jl:150-156``); this is
+    the TPU-side answer to its exponential-depth economics (``tree.jl:10-13``).
+    """
+    if ema is None:
+        z2, stats = _one_transition(k, z, eps, **kw)
+        return z2, stats, None
+    perm = jnp.argsort(ema)                 # ascending predicted work
+    inv = jnp.argsort(perm)
+    take = lambda x: jnp.take(x, perm, axis=0)
+    z_p = jax.tree_util.tree_map(take, z)
+    eps_p = take(eps) if getattr(eps, "ndim", 0) >= 1 else eps
+    z2p, stats_p = _one_transition(k, z_p, eps_p, **kw)
+    untake = lambda x: jnp.take(x, inv, axis=0)
+    z2 = jax.tree_util.tree_map(untake, z2p)
+    stats = jax.tree_util.tree_map(untake, stats_p)
+    ema2 = _SCHED_DECAY * ema \
+        + (1.0 - _SCHED_DECAY) * stats.steps.astype(jnp.float32)
+    return z2, stats, ema2
+
+
 def run_tuning(key, potential: Callable, stage: TuningNUTS, algorithm: NUTS,
                state: WarmupState, pooled: bool = False,
                axis_name: Optional[str] = None,
                step_factory: Optional[Callable] = None,
                transition_factory: Optional[Callable] = None,
-               post_step: Optional[Callable] = None) -> TuningResult:
+               post_step: Optional[Callable] = None,
+               schedule: Optional[str] = None) -> TuningResult:
     """One tuning window (``warmup.jl:269-314``): N NUTS transitions with
     per-step dual averaging, then an optional metric re-estimate from the
     window's draws.  ``post_step(key, z) -> z`` composes an extra
@@ -258,10 +308,10 @@ def run_tuning(key, potential: Callable, stage: TuningNUTS, algorithm: NUTS,
     mom0 = init_stream_moments(stage, state.z, axis_name)
 
     def step(carry, k):
-        z, da, mom = carry
+        z, da, mom, ema = carry
         eps = da_current_eps(da) if adapting else eps0
-        z2, stats = _one_transition(
-            k, z, eps, metric=state.metric, potential=potential,
+        z2, stats, ema = _scheduled_transition(
+            k, z, ema, eps, metric=state.metric, potential=potential,
             algorithm=algorithm, fused_trans=fused_trans,
             fused_step=fused_step, post_step=post_step)
         if adapting:
@@ -273,9 +323,10 @@ def run_tuning(key, potential: Callable, stage: TuningNUTS, algorithm: NUTS,
             da = da_update(stage.stepsize_adaptation, da, a)
         mom = _update_moments(mom, stage, z2.q)
         ys = (stats, eps) if stream else (z2.q, stats, eps)
-        return (z2, da, mom), ys
+        return (z2, da, mom, ema), ys
 
-    (z, da, mom), ys = lax.scan(step, (state.z, da, mom0), keys)
+    (z, da, mom, _), ys = lax.scan(
+        step, (state.z, da, mom0, _sched_init(state.z, schedule)), keys)
 
     metric = state.metric
     if stream:
@@ -314,7 +365,8 @@ def run_tuning_chunk(key, potential: Callable, stage: TuningNUTS,
                      step_factory: Optional[Callable] = None,
                      transition_factory: Optional[Callable] = None,
                      mom: Optional[StreamMoments] = None,
-                     post_step: Optional[Callable] = None
+                     post_step: Optional[Callable] = None,
+                     schedule: Optional[str] = None
                      ) -> TuningChunkResult:
     """``n`` transitions of a tuning window with the dual-averaging carry
     passed in/out — the unit of in-window progress reporting (the reference
@@ -332,10 +384,10 @@ def run_tuning_chunk(key, potential: Callable, stage: TuningNUTS,
                    if transition_factory is not None else None)
 
     def step(carry, k):
-        z, da, mom = carry
+        z, da, mom, ema = carry
         eps = da_current_eps(da) if adapting else eps0
-        z2, stats = _one_transition(
-            k, z, eps, metric=state.metric, potential=potential,
+        z2, stats, ema = _scheduled_transition(
+            k, z, ema, eps, metric=state.metric, potential=potential,
             algorithm=algorithm, fused_trans=fused_trans,
             fused_step=fused_step, post_step=post_step)
         if adapting:
@@ -347,9 +399,13 @@ def run_tuning_chunk(key, potential: Callable, stage: TuningNUTS,
             da = da_update(stage.stepsize_adaptation, da, a)
         mom = _update_moments(mom, stage, z2.q)
         ys = (stats, eps) if stream else (z2.q, stats, eps)
-        return (z2, da, mom), ys
+        return (z2, da, mom, ema), ys
 
-    (z, da, mom), ys = lax.scan(step, (state.z, da, mom), keys)
+    # the work EMA restarts each chunk (a few transitions re-warm it); the
+    # alternative — threading it through the chunk API/checkpoints — buys
+    # nothing measurable at chunk lengths >= 25
+    (z, da, mom, _), ys = lax.scan(
+        step, (state.z, da, mom, _sched_init(state.z, schedule)), keys)
     if stream:
         stats, eps_log = ys
         qs = None
@@ -424,7 +480,8 @@ def run_sampling(key, potential: Callable, algorithm: NUTS, state: WarmupState,
                  keep_dims: Optional[Tuple[int, ...]] = None,
                  moments0: Optional[SplitMoments] = None,
                  moment_offset: int = 0,
-                 moment_total: Optional[int] = None) -> SamplingResult:
+                 moment_total: Optional[int] = None,
+                 schedule: Optional[str] = None) -> SamplingResult:
     """The post-warmup loop ``mcmc!`` (``warmup.jl:316-332``): fixed eps and
     metric, collect positions and tree statistics.
 
@@ -446,23 +503,23 @@ def run_sampling(key, potential: Callable, algorithm: NUTS, state: WarmupState,
     total = n_draws if moment_total is None else moment_total
     kd = None if keep_dims is None else jnp.asarray(keep_dims, jnp.int32)
 
-    def one(z, k):
-        z2, stats = _one_transition(
-            k, z, eps, metric=state.metric, potential=potential,
+    def one(z, ema, k):
+        z2, stats, ema2 = _scheduled_transition(
+            k, z, ema, eps, metric=state.metric, potential=potential,
             algorithm=algorithm, fused_trans=fused_trans,
             fused_step=fused_step, post_step=post_step)
-        return z2, stats
+        return z2, stats, ema2
 
     def step(carry, xs):
-        z, mom = carry
+        z, mom, ema = carry
         ks, i = xs
         if thin == 1:
-            z2, stats = one(z, ks[0])
+            z2, stats, ema = one(z, ema, ks[0])
         else:
             def inner(carry, k):
-                z2, stats = one(carry, k)
-                return z2, stats
-            z2, stats_all = lax.scan(inner, z, ks)
+                z2, stats, ema2 = one(carry[0], carry[1], k)
+                return (z2, ema2), stats
+            (z2, ema), stats_all = lax.scan(inner, (z, ema), ks)
             stats = jax.tree_util.tree_map(lambda x: x[-1], stats_all)
         if mom is not None:
             half = ((moment_offset + i) >= total // 2).astype(jnp.int32)
@@ -472,8 +529,9 @@ def run_sampling(key, potential: Callable, algorithm: NUTS, state: WarmupState,
                 s1=mom.s1.at[half].add(c),
                 s2=mom.s2.at[half].add(c * c))
         rec = z2.q if kd is None else jnp.take(z2.q, kd, axis=-1)
-        return (z2, mom), (rec, stats)
+        return (z2, mom, ema), (rec, stats)
 
-    (z, mom), (qs, stats) = lax.scan(
-        step, (state.z, moments0), (keys, jnp.arange(n_draws)))
+    (z, mom, _), (qs, stats) = lax.scan(
+        step, (state.z, moments0, _sched_init(state.z, schedule)),
+        (keys, jnp.arange(n_draws)))
     return SamplingResult(z=z, draws=qs, stats=stats, moments=mom)

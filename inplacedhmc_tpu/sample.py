@@ -174,7 +174,8 @@ class NUTSKernel:
                  use_pallas: str = "auto", shard_mesh=None,
                  shard_axis: str = "chain", fused_opts: Optional[dict] = None,
                  tree_opts: Optional[dict] = None,
-                 post_step: Optional[Callable] = None):
+                 post_step: Optional[Callable] = None,
+                 schedule: Optional[str] = None):
         """``shard_mesh``: a ``jax.sharding.Mesh`` with axis ``shard_axis``;
         when set, fused Pallas transitions are wrapped in ``shard_map`` so
         each device runs the kernel on its local chain shard (Pallas calls do
@@ -187,6 +188,16 @@ class NUTSKernel:
         self.shard_mesh = shard_mesh
         self.shard_axis = shard_axis
         self.post_step = post_step
+        if schedule not in (None, "work_sorted"):
+            raise ValueError(f"unknown schedule {schedule!r} "
+                             "(None or 'work_sorted')")
+        if schedule is not None and shard_mesh is not None:
+            # a global argsort across the chain mesh axis would turn every
+            # transition into a cross-device sort collective; per-shard
+            # scheduling belongs inside the shard_map wrapper (not built)
+            raise ValueError("schedule='work_sorted' is single-device-"
+                             "shard only; drop shard_mesh or the schedule")
+        self.schedule = schedule
         self._jit_cache: dict = {}
 
         if use_pallas == "auto":
@@ -311,7 +322,8 @@ class NUTSKernel:
                                   pooled=self.pooled, axis_name=self.axis_name,
                                   step_factory=self.step_factory,
                                   transition_factory=self.transition_factory,
-                                  post_step=self.post_step)
+                                  post_step=self.post_step,
+                                  schedule=self.schedule)
             self._jit_cache[key] = jax.jit(
                 lambda k, state: f(k, state=state), donate_argnums=(1,))
         return self._jit_cache[key]
@@ -324,7 +336,8 @@ class NUTSKernel:
                                   pooled=self.pooled, axis_name=self.axis_name,
                                   step_factory=self.step_factory,
                                   transition_factory=self.transition_factory,
-                                  post_step=self.post_step)
+                                  post_step=self.post_step,
+                                  schedule=self.schedule)
             self._jit_cache[key] = jax.jit(
                 lambda k, state, da, mom: f(k, state=state, da=da, mom=mom))
         return self._jit_cache[key]
@@ -362,7 +375,8 @@ class NUTSKernel:
                                   moment_total=moment_total,
                                   step_factory=self.step_factory,
                                   transition_factory=self.transition_factory,
-                                  post_step=self.post_step)
+                                  post_step=self.post_step,
+                                  schedule=self.schedule)
             if moments:
                 g = jax.jit(lambda k, state, mom, off: f(
                     k, state=state, moments0=mom, moment_offset=off))
@@ -777,15 +791,16 @@ def _kernel(model: Model, algorithm: NUTS, pooled: bool,
             shard_axis: str = "chain",
             fused_opts: Optional[dict] = None,
             tree_opts: Optional[dict] = None,
-            post_step: Optional[Callable] = None) -> NUTSKernel:
+            post_step: Optional[Callable] = None,
+            schedule: Optional[str] = None) -> NUTSKernel:
     key = (model, algorithm, pooled, axis_name, use_pallas, shard_mesh,
            shard_axis, tuple(sorted((fused_opts or {}).items())),
-           tuple(sorted((tree_opts or {}).items())), post_step)
+           tuple(sorted((tree_opts or {}).items())), post_step, schedule)
     from .ops.tree_pallas import _cache_get
     return _cache_get(_KERNEL_CACHE, key, lambda: NUTSKernel(
         model, algorithm, pooled, axis_name, use_pallas=use_pallas,
         shard_mesh=shard_mesh, shard_axis=shard_axis, fused_opts=fused_opts,
-        tree_opts=tree_opts, post_step=post_step))
+        tree_opts=tree_opts, post_step=post_step, schedule=schedule))
 
 
 def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
@@ -812,12 +827,18 @@ def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
                      use_pallas: str = "auto",
                      fused_opts: Optional[dict] = None,
                      tree_opts: Optional[dict] = None,
-                     post_step: Optional[Callable] = None) -> MCMCResult:
+                     post_step: Optional[Callable] = None,
+                     schedule: Optional[str] = None) -> MCMCResult:
     """NUTS with the default windowed warmup (``mcmc_with_warmup``,
     ``mcmc.jl:109-128``).  ``delta`` is the dual-averaging target acceptance
     rate (the reference's ``δ`` kwarg, ``mcmc.jl:110-111``).  ``use_pallas``
     selects the fused-kernel policy and ``fused_opts``/``tree_opts`` reach
-    the fused-potential / whole-tree kernel knobs (see :class:`NUTSKernel`)."""
+    the fused-potential / whole-tree kernel knobs (see :class:`NUTSKernel`).
+    ``schedule="work_sorted"`` permutes chains by a per-chain leapfrog-work
+    EMA before every transition (inverted after, so draws/stats stay in
+    original chain coordinates) — packs similar-depth chains into the same
+    kernel tiles on targets with position-persistent tree depth (see
+    ``adapt.warmup._scheduled_transition``)."""
     if pooled is None:
         pooled = n_chains > 1
     if warmup_stages is None:
@@ -825,7 +846,7 @@ def mcmc_with_warmup(key, model: Model, n_draws: int, n_chains: int = 1, *,
             stepsize_adaptation=DualAveraging(delta=delta))
     kern = _kernel(model, algorithm, pooled, None, use_pallas=use_pallas,
                    fused_opts=fused_opts, tree_opts=tree_opts,
-                   post_step=post_step)
+                   post_step=post_step, schedule=schedule)
     return kern.run(key, n_draws, n_chains, warmup_stages=warmup_stages,
                     q=q, metric=metric, eps=eps, dtype=dtype, reporter=reporter,
                     thin=thin, draw_block=draw_block,

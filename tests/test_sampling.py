@@ -376,3 +376,101 @@ def test_precompile_counts_executables():
                     tuning_chunk=10, draw_block=7, collect_moments=True)
     assert len(kern2._jit_cache) == n_keys
     assert res.draws.shape[0] == 10
+
+
+def test_work_sorted_schedule_correctness():
+    """schedule='work_sorted' permutes chains by a work EMA before each
+    transition and inverts it after: draws stay in original chain
+    coordinates and the posterior is untouched (chains are exchangeable,
+    the permutation is past-measurable).  Funnel-like heterogeneous target:
+    moments and per-chain time-series coherence must match the unscheduled
+    run statistically."""
+    from inplacedhmc_tpu import diagnostics as diag
+    from inplacedhmc_tpu.models import funnel
+
+    from inplacedhmc_tpu.config import (DualAveraging,
+                                        default_warmup_stages)
+
+    model = funnel(6)
+    # no FindLocalOptimum: on the funnel the (penalized) optimum sits ~6
+    # sigma deep in the neck and a chain can fail to escape it for any RNG
+    # pairing — initializing U[-2,2] keeps this a test of scheduling, not of
+    # neck-escape luck
+    stages = default_warmup_stages(
+        local_optimization=None, stepsize_adaptation=DualAveraging(delta=0.9))
+    kw = dict(n_draws=600, n_chains=32, use_pallas="off",
+              warmup_stages=stages)
+    res = mcmc_with_warmup(jax.random.PRNGKey(7), model,
+                           schedule="work_sorted", **kw)
+    base = mcmc_with_warmup(jax.random.PRNGKey(7), model, **kw)
+    d_s = np.asarray(res.draws)
+    d_b = np.asarray(base.draws)
+    # funnel scale coordinate: mean 0, sd 3 (q0 ~ N(0, 9))
+    assert abs(d_s[:, :, 0].mean()) < 0.6
+    assert abs(d_s[:, :, 0].std() - 3.0) < 0.8
+    # same posterior as the unscheduled run (different RNG pairing is fine)
+    assert abs(d_s[:, :, 0].mean() - d_b[:, :, 0].mean()) < 0.8
+    # per-chain series stay coherent: split-rhat is computable and sane
+    r = np.asarray(diag.split_rhat(jnp.asarray(d_s)))
+    assert np.isfinite(r).all() and r.max() < 1.35, r
+
+
+def test_work_sorted_schedule_identity_when_homogeneous():
+    """With an all-equal work EMA the argsort permutation is the identity
+    (stable sort), so the first transition of a scheduled run is
+    BIT-IDENTICAL to the unscheduled one."""
+    model = std_normal(8)
+    kw = dict(n_draws=1, n_chains=16, use_pallas="off", eps=0.4,
+              warmup_stages=[])
+    a = mcmc_with_warmup(jax.random.PRNGKey(3), model,
+                         schedule="work_sorted", **kw)
+    b = mcmc_with_warmup(jax.random.PRNGKey(3), model, **kw)
+    np.testing.assert_array_equal(np.asarray(a.draws[0]),
+                                  np.asarray(b.draws[0]))
+
+
+def test_schedule_rejects_mesh_and_unknown():
+    from inplacedhmc_tpu.sample import NUTSKernel
+    from inplacedhmc_tpu.config import NUTS as NUTSCfg
+
+    model = std_normal(4)
+    with pytest.raises(ValueError):
+        NUTSKernel(model, NUTSCfg(), schedule="bogus")
+
+
+def test_scheduled_transition_exactness_property():
+    """_scheduled_transition == unpermute(_one_transition(permute(z))) with
+    the SAME key: the wrapper adds nothing but the (inverse-applied)
+    permutation, and the EMA update uses the un-permuted steps."""
+    import functools
+    from inplacedhmc_tpu.adapt.warmup import (_one_transition,
+                                              _scheduled_transition,
+                                              _SCHED_DECAY)
+    import inplacedhmc_tpu as ih
+
+    model = funnel(5)
+    pot = ih.batched_logdensity_and_grad(model.logp)
+    metric = ih.identity_metric(5, jnp.float32)
+    q = jax.random.normal(jax.random.PRNGKey(0), (12, 5), jnp.float32)
+    z = ih.evaluate(pot, q)
+    ema = jnp.asarray(np.random.default_rng(1).permutation(12), jnp.float32)
+    kw = dict(metric=metric, potential=pot,
+              algorithm=__import__("inplacedhmc_tpu.config",
+                                   fromlist=["NUTS"]).NUTS(max_depth=6),
+              fused_trans=None, fused_step=None, post_step=None)
+    eps = jnp.asarray(0.3, jnp.float32)
+    k = jax.random.PRNGKey(5)
+    z2, stats, ema2 = _scheduled_transition(k, z, ema, eps, **kw)
+
+    perm = np.argsort(np.asarray(ema), kind="stable")
+    inv = np.argsort(perm)
+    z_p = jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x)[perm]), z)
+    z2_ref, stats_ref = _one_transition(k, z_p, eps, **kw)
+    np.testing.assert_array_equal(np.asarray(z2.q),
+                                  np.asarray(z2_ref.q)[inv])
+    np.testing.assert_array_equal(np.asarray(stats.steps),
+                                  np.asarray(stats_ref.steps)[inv])
+    np.testing.assert_allclose(
+        np.asarray(ema2),
+        _SCHED_DECAY * np.asarray(ema)
+        + (1 - _SCHED_DECAY) * np.asarray(stats_ref.steps)[inv], rtol=1e-6)
