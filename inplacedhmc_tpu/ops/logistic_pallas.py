@@ -32,7 +32,12 @@ from .common import chain_tiles
 from .common import round_up as _round_up
 
 
-def _make_fused_kernel(grad_bf16: bool):
+def _make_fused_kernel(grad_bf16: bool, ablate_trans: bool = False):
+    """``ablate_trans``: INTERNAL measurement hook
+    (benchmarks/logistic_mxu_sweep.py) replacing the exp/log1p block with
+    linear stand-ins of the same shape — the resulting kernel computes the
+    WRONG density; it exists only to attribute kernel time between the two
+    MXU contractions and the [BC, BN] VPU transcendental block."""
     def _kernel(q_ref, x_ref, yw_ref, s2_ref, logp_ref, grad_ref):
         j = pl.program_id(1)
         nj = pl.num_programs(1)
@@ -54,8 +59,12 @@ def _make_fused_kernel(grad_bf16: bool):
         # and sigmoid(eta) = 1/(1+t) for eta>=0, t/(1+t) otherwise — saves a
         # second exp per element on the VPU (the [BC, BN] elementwise block is
         # a material fraction of kernel time next to the two MXU matmuls)
-        t = jnp.exp(-jnp.abs(eta))
-        ll = y[None, :] * eta - (jnp.maximum(eta, 0.0) + jnp.log1p(t))
+        if ablate_trans:
+            t = 0.5 * eta                      # linear stand-in, same shape
+            ll = y[None, :] * eta - (jnp.maximum(eta, 0.0) + t)
+        else:
+            t = jnp.exp(-jnp.abs(eta))
+            ll = y[None, :] * eta - (jnp.maximum(eta, 0.0) + jnp.log1p(t))
         logp_ref[:] += jnp.sum(ll * w[None, :], axis=1, keepdims=True)
 
         inv1pt = 1.0 / (1.0 + t)
@@ -87,15 +96,16 @@ _kernel = _make_fused_kernel(False)  # default f32 kernel (back-compat name)
 
 
 @functools.partial(jax.jit, static_argnames=("block_c", "block_n", "interpret",
-                                             "grad_bf16"))
+                                             "grad_bf16", "ablate_trans"))
 def _logistic_value_and_grad_padded(q, x, yw, s2, block_c: int, block_n: int,
                                     interpret: bool = False,
-                                    grad_bf16: bool = False):
+                                    grad_bf16: bool = False,
+                                    ablate_trans: bool = False):
     cpad, dpad = q.shape
     npad = x.shape[0]
     grid = (cpad // block_c, npad // block_n)
     logp, grad = pl.pallas_call(
-        _make_fused_kernel(grad_bf16),
+        _make_fused_kernel(grad_bf16, ablate_trans),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_c, dpad), lambda i, j: (i, 0),
@@ -129,7 +139,8 @@ def _logistic_value_and_grad_padded(q, x, yw, s2, block_c: int, block_n: int,
 def make_logistic_potential(x, y, inv_var: float,
                             block_c: int = 256, block_n: int = 512,
                             interpret: bool = False,
-                            grad_bf16: bool = False):
+                            grad_bf16: bool = False,
+                            _ablate_trans: bool = False):
     """Build a batched ``q [C, D] -> (logp [C], grad [C, D])`` potential using
     the fused kernel.  Data is padded once at build time; chains are padded
     per call.  Set ``interpret=True`` for CPU testing.
@@ -156,7 +167,7 @@ def make_logistic_potential(x, y, inv_var: float,
             q.astype(jnp.float32))
         logp, grad = _logistic_value_and_grad_padded(q_p, x_p, yw, s2, bc,
                                                      block_n, interpret,
-                                                     grad_bf16)
+                                                     grad_bf16, _ablate_trans)
         logp = logp[:c]
         grad = grad[:c, :d]
         ok = jnp.isfinite(logp)
