@@ -204,7 +204,7 @@ def _make_anc_logp(returns):
 
 
 def make_asis_hook(returns, *, scale=(0.06, 0.1), n_steps: int = 3,
-                   potential=None):
+                   potential=None, per_coord: bool = False):
     """ASIS interleaving for the SV hyperparameters (Yu & Meng 2011): after
     each centered NUTS transition, re-express the latents as AR(1)
     innovations ``eps`` (the *ancillary* parameterization), run ``n_steps``
@@ -221,6 +221,15 @@ def make_asis_hook(returns, *, scale=(0.06, 0.1), n_steps: int = 3,
     ``scale``: RW step sds for (arctanh phi, log s).  ``potential``: the
     batched value+grad used to refresh the returned state (defaults to the
     model's autodiff potential).
+
+    ``per_coord``: propose/accept each hyperparameter SEPARATELY (2 MH
+    sub-steps per ASIS step) instead of jointly.  At T=1000 the ancillary
+    conditional of ``log s`` is ~50x tighter (sd ~ 1/sqrt(2T)) than
+    ``arctanh phi``'s, so a joint proposal lets the tight coordinate veto
+    the free one — measured at 10,240 chains: joint ASIS reached
+    tau_phi ~ 26 but tau_logs ~ 1090 (worse than no ASIS at 238,
+    examples/results_round3.jsonl); per-coordinate updates decouple the
+    acceptance rates.
     """
     from ..core.hamiltonian import batched_logdensity_and_grad
     from ..core.state import EvalPoint
@@ -241,15 +250,31 @@ def make_asis_hook(returns, *, scale=(0.06, 0.1), n_steps: int = 3,
 
         def mh(carry, k):
             theta, lp, moved = carry
-            kp, ku = jax.random.split(k)
-            prop = theta + sc.astype(dtype) * \
-                jax.random.normal(kp, theta.shape, dtype)
-            lp_p = anc_logp(prop, eps)
-            accept = jnp.log(jax.random.uniform(ku, lp.shape, dtype)) \
-                < (lp_p - lp)
-            theta = jnp.where(accept[..., None], prop, theta)
-            lp = jnp.where(accept, lp_p, lp)
-            return (theta, lp, moved | accept), None
+            if per_coord:
+                # one MH sub-step per hyperparameter: the tight coordinate
+                # cannot veto the free one
+                for j, kj in enumerate(jax.random.split(k, theta.shape[-1])):
+                    kp, ku = jax.random.split(kj)
+                    step = sc[j].astype(dtype) * \
+                        jax.random.normal(kp, lp.shape, dtype)
+                    prop = theta.at[..., j].add(step)
+                    lp_p = anc_logp(prop, eps)
+                    accept = jnp.log(jax.random.uniform(ku, lp.shape, dtype)) \
+                        < (lp_p - lp)
+                    theta = jnp.where(accept[..., None], prop, theta)
+                    lp = jnp.where(accept, lp_p, lp)
+                    moved = moved | accept
+            else:
+                kp, ku = jax.random.split(k)
+                prop = theta + sc.astype(dtype) * \
+                    jax.random.normal(kp, theta.shape, dtype)
+                lp_p = anc_logp(prop, eps)
+                accept = jnp.log(jax.random.uniform(ku, lp.shape, dtype)) \
+                    < (lp_p - lp)
+                theta = jnp.where(accept[..., None], prop, theta)
+                lp = jnp.where(accept, lp_p, lp)
+                moved = moved | accept
+            return (theta, lp, moved), None
 
         moved0 = jnp.zeros(lp.shape, bool)
         (theta, _, moved), _ = jax.lax.scan(mh, (theta, lp, moved0),

@@ -214,3 +214,38 @@ def test_synthetic_returns_stationary_init():
     assert abs(np.std(r1) - expected_sd) < 0.2 * expected_sd
     # the buggy generator's sigma_h was 1/sqrt(1-phi^2) ~ 2.3: Var(r_1)
     # = exp(2.63) -> sd 3.7, far outside the tolerance above
+
+
+def test_asis_per_coord_preserves_posterior_and_moves_both():
+    """per_coord=True runs one MH sub-step per hyperparameter so the tight
+    log_s conditional cannot veto phi moves (measured at 10,240 chains:
+    joint proposals drove tau_logs ~1090 vs 238 without ASIS).  Both
+    coordinates must move, and the posterior must match the joint variant."""
+    import numpy as np
+    from inplacedhmc_tpu.models.stoch_vol import make_asis_hook
+    from inplacedhmc_tpu.sample import mcmc_with_warmup
+    from inplacedhmc_tpu.config import DualAveraging, default_warmup_stages
+
+    r = synthetic_returns(jax.random.PRNGKey(0), 32, phi=0.8, s=0.25)
+    model = stoch_vol(r)
+    stages = default_warmup_stages(
+        stepsize_adaptation=DualAveraging(delta=0.9), init_steps=30,
+        middle_steps=25, doubling_stages=2, terminating_steps=25)
+    res_j = mcmc_with_warmup(jax.random.PRNGKey(1), model, 500, 32,
+                             warmup_stages=stages,
+                             post_step=make_asis_hook(r))
+    res_p = mcmc_with_warmup(jax.random.PRNGKey(1), model, 500, 32,
+                             warmup_stages=stages,
+                             post_step=make_asis_hook(r, per_coord=True))
+    dj = np.asarray(res_j.draws)
+    dp = np.asarray(res_p.draws)
+    assert np.isfinite(dp).all()
+    # per-coord MH moved both hyperparameters within the run
+    for idx in (0, 1):
+        per_chain_sd = dp[..., idx].std(axis=0)
+        assert (per_chain_sd > 1e-3).all(), idx
+    # same posterior as the joint variant (both exact kernels)
+    for idx, tol in [(0, 0.15), (1, 0.6)]:
+        assert abs(dj[..., idx].mean() - dp[..., idx].mean()) < tol
+    np.testing.assert_allclose(dp[..., 2:].mean((0, 1)),
+                               dj[..., 2:].mean((0, 1)), atol=0.35)
