@@ -73,10 +73,27 @@ def _uniform_from_bits(shape):
     return bits24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
+def _gauss_from_bits(shape):
+    """In-kernel standard normals: Box-Muller on two 24-bit uniforms.
+    ``(bits24 + 0.5) * 2^-24`` keeps u strictly inside (0, 1) so the log is
+    finite; tails truncate at ~5.8 sigma (same granularity class as the
+    host threefry path's 23-bit mantissa)."""
+    def unif(shape):
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        bits24 = pltpu.bitcast(jnp.right_shift(bits, jnp.uint32(8)),
+                               jnp.int32)
+        return (bits24.astype(jnp.float32) + 0.5) * jnp.float32(1.0 / (1 << 24))
+    u1 = unif(shape)
+    u2 = unif(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(jnp.float32(2.0 * np.pi) * u2)
+
+
 def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                  term_max_depth: int, term_div: int, term_turn: int,
                  physics=None, n_data: int = 1, use_prng: bool = True,
                  dense: bool = False, ckpt_bf16: bool = False,
+                 refresh_inside: bool = False,
                  ablate: frozenset = frozenset()):
     """``physics(q_tile, data_refs) -> (logp [bc,1], grad [bc,dpad])`` — the
     model's fused value+gradient on a chain tile; evaluated once per leapfrog
@@ -112,8 +129,18 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
 
     ckpt_dtype = jnp.bfloat16 if ckpt_bf16 else jnp.float32
 
+    assert not (refresh_inside and not use_prng), \
+        "refresh_inside needs the TPU PRNG (no interpret mode)"
+
     def kernel(q0_ref, p0_ref, eps_ref, dirs_ref, valid_ref, seed_ref,
                *rest):
+        # refresh_inside: p0_ref is the momentum SCALE (sqrt-mass row [1,dpad]
+        # diag / transposed mass-Cholesky [dpad,dpad] dense) and dirs_ref a
+        # dummy — momentum and direction bits are generated in-kernel from
+        # the TPU PRNG, so the host pays no threefry or HBM round trip
+        # (measured: 1.83 ms/transition of out-of-kernel scan-body cost at
+        # the flagship point, benchmarks/transition_attr.json).
+        #
         # interpret mode (CPU tests) has no TPU PRNG: proposal uniforms come
         # in as a per-(leaf, epilogue) stream indexed by the lockstep-global
         # counter, so sampling stays exact (not degenerate) off-TPU
@@ -132,6 +159,7 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
         (out_q, out_logp, out_grad, out_energy, out_lsa,
          out_term, out_tl, out_tr, out_depth, out_steps,
          left_q, left_p, right_q, right_p,
+         left_g, right_g,
          cur_q, cur_p, cur_g,
          ps_l, ps_r, rho, s_cum,
          prop_q, sub_q,
@@ -157,7 +185,17 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 return minv * p
 
         q0 = q0_ref[:]
-        p0 = p0_ref[:]
+        if refresh_inside:
+            xi = _gauss_from_bits((bc, dpad))
+            if dense:
+                # p0 = xi @ chol(M)^T — scale ref holds the transposed
+                # Cholesky padded with zero dead lanes, so p0 is 0 there
+                p0 = jnp.dot(xi, p0_ref[:],
+                             preferred_element_type=jnp.float32)
+            else:
+                p0 = p0_ref[0:1, :] * xi   # sqrt-mass row, 0 on dead lanes
+        else:
+            p0 = p0_ref[:]
 
         logp0, g0 = physics(q0, data_refs)
         ps0 = psharp(p0)
@@ -174,6 +212,7 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
         # 13 [BC, D] buffers.
         left_q[:] = q0; left_p[:] = p0
         right_q[:] = q0; right_p[:] = p0
+        left_g[:] = g0; right_g[:] = g0
         cur_g[:] = g0
         ps_l[:] = ps0; ps_r[:] = ps0
         rho[:] = p0
@@ -207,7 +246,11 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
         seti(ACTIVE, valid); seti(ALIVE, valid)
         seti(DIED_DIV, zi); seti(DIED_TURN, zi)
         seti(DIE_L, zi); seti(DIE_R, zi)
-        seti(DIRS, dirs_ref[:])
+        if refresh_inside:
+            seti(DIRS, pltpu.bitcast(pltpu.prng_random_bits((bc, 1)),
+                                     jnp.int32))
+        else:
+            seti(DIRS, dirs_ref[:])
 
         def make_leaf_body(d_level):
             """Leaf step for a depth-``d_level`` subtree (n in [0, 2^d))."""
@@ -378,8 +421,10 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
             sign = 2.0 * isff - 1.0
             cur_q[:] = isff * right_q[:] + (1.0 - isff) * left_q[:]
             cur_p[:] = isff * right_p[:] + (1.0 - isff) * left_p[:]
-            _, g_front = physics(cur_q[:], data_refs)
-            cur_g[:] = g_front
+            # frontier gradient from the endpoint cache — one physics call
+            # per doubling block saved (bit-identical: physics is a
+            # deterministic function of position)
+            cur_g[:] = isff * right_g[:] + (1.0 - isff) * left_g[:]
             s_cum[:] = jnp.zeros((bc, dpad), jnp.float32)
             setf(SIGN, sign)
             setf(OMEGA_SUB, jnp.full((bc, 1), neg_inf))
@@ -432,8 +477,10 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
             i_end = geti(I_BASE) + (1 << d) * sign.astype(jnp.int32)
             right_q[:] = grf * cur_q[:] + (1.0 - grf) * right_q[:]
             right_p[:] = grf * cur_p[:] + (1.0 - grf) * right_p[:]
+            right_g[:] = grf * cur_g[:] + (1.0 - grf) * right_g[:]
             left_q[:] = glf * cur_q[:] + (1.0 - glf) * left_q[:]
             left_p[:] = glf * cur_p[:] + (1.0 - glf) * left_p[:]
+            left_g[:] = glf * cur_g[:] + (1.0 - glf) * left_g[:]
             ps_r[:] = grf * ps_end + (1.0 - grf) * ps_r[:]
             ps_l[:] = glf * ps_end + (1.0 - glf) * ps_l[:]
             seti(I_RIGHT, jnp.where(grow_r, i_end, geti(I_RIGHT)))
@@ -487,6 +534,7 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
 def _build_transition_padded(physics, data_arrays, max_depth: int,
                              min_delta: float, block_c: int, interpret: bool,
                              dense: bool = False, ckpt_bf16: bool = False,
+                             refresh_inside: bool = False,
                              ablate: frozenset = frozenset()):
     """Construct the jitted padded-transition function for one physics/data
     configuration.  ``data_arrays``: tuple of 2-D f32 arrays passed whole into
@@ -518,6 +566,12 @@ def _build_transition_padded(physics, data_arrays, max_depth: int,
                                    memory_space=pltpu.VMEM))
         smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
         data_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in data]
+        # refresh_inside: the p0 slot carries the momentum scale (sqrt-mass
+        # row / transposed mass-Cholesky) instead of per-chain momenta
+        pspec = vec if not refresh_inside else \
+            (pl.BlockSpec(memory_space=pltpu.VMEM) if dense
+             else pl.BlockSpec((1, dpad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM))
 
         # the kernel closes over bc but reads dpad from ref shapes; a
         # fresh _make_kernel per (bc, dpad) keeps the unrolled code exact
@@ -525,15 +579,16 @@ def _build_transition_padded(physics, data_arrays, max_depth: int,
                          Termination.MAX_DEPTH, Termination.DIVERGENCE,
                          Termination.TURNING, physics=physics, n_data=n_data,
                          use_prng=not interpret, dense=dense,
-                         ckpt_bf16=ckpt_bf16, ablate=ablate)
+                         ckpt_bf16=ckpt_bf16, refresh_inside=refresh_inside,
+                         ablate=ablate)
         if interpret:
             uspec = pl.BlockSpec((n_unif, bc), lambda i: (0, i),
                                  memory_space=pltpu.VMEM)
-            in_specs = [vec, vec, col, col, col, smem1, uspec, mspec,
+            in_specs = [vec, pspec, col, col, col, smem1, uspec, mspec,
                         *data_specs]
             inputs = (q0, p0, eps, dirs, valid, seed, unif, minv, *data)
         else:
-            in_specs = [vec, vec, col, col, col, smem1, mspec, *data_specs]
+            in_specs = [vec, pspec, col, col, col, smem1, mspec, *data_specs]
             inputs = (q0, p0, eps, dirs, valid, seed, minv, *data)
         return pl.pallas_call(
             k,
@@ -553,7 +608,7 @@ def _build_transition_padded(physics, data_arrays, max_depth: int,
                 jax.ShapeDtypeStruct((cpad, 1), i32),      # steps
             ],
             scratch_shapes=[
-                *[pltpu.VMEM((bc, dpad), f32) for _ in range(13)],
+                *[pltpu.VMEM((bc, dpad), f32) for _ in range(15)],
                 pltpu.VMEM((md1, bc, dpad), ckpt_dtype),
                 pltpu.VMEM((md1, bc, dpad), ckpt_dtype),
                 pltpu.VMEM((bc, 16), f32),
@@ -591,6 +646,8 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
                          block_c: int = 256, interpret: bool = False,
                          ckpt_bf16: bool = False,
                          tile_value_grad=None,
+                         refresh_inside: bool = False,
+                         padded_io: bool = False,
                          _ablate: frozenset = frozenset()):
     """Whole-transition kernel for **arbitrary tile physics**.
 
@@ -617,6 +674,20 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
 
     Returns ``transition(key, z, eps, *, directions=None, momentum=None)``
     with :func:`inplacedhmc_tpu.nuts.tree.nuts_transition` semantics.
+
+    ``refresh_inside`` (TPU only): generate the momentum refresh (Box-Muller)
+    and the 32 direction bits from the in-kernel TPU PRNG instead of host
+    threefry — removes the per-transition threefry dispatch and the [C, D]
+    momentum HBM round trip (measured 1.83 ms/transition of out-of-kernel
+    scan-body cost at 10,240x100, ``benchmarks/transition_attr.json``).
+    Explicit ``directions=``/``momentum=`` are rejected in this mode.
+
+    ``padded_io``: return ``(transition, run_padded)`` where
+    ``run_padded(key, q_pad, eps_col, valid_col) -> (q_pad', logp_col,
+    grad_pad, stats_padded)`` operates directly on the ``[cpad, dpad]``
+    layout — a scan loop carries the padded state and pays the pad/unpad
+    once per block instead of per transition.  Padded rows of ``stats`` are
+    zeros (``valid`` starts them inactive).  Requires ``refresh_inside``.
     """
     from ..core.metric import DenseMetric, DiagMetric, dense_metric
     from ..core.state import EvalPoint, TreeStats
@@ -657,10 +728,13 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
     # cache the built (and later jit-compiled) runner by static config so a
     # metric re-estimate between warmup stages does not trigger a recompile:
     # the metric is a runtime argument of `run`
+    if refresh_inside and interpret:
+        raise ValueError("refresh_inside needs the TPU PRNG "
+                         "(incompatible with interpret mode)")
     cache_key = (tile_logp, tile_value_grad, tuple(names),
                  tuple(a.shape for a in padded),
                  dim, max_depth, float(min_delta), block_c, interpret,
-                 dense, ckpt_bf16, _ablate)
+                 dense, ckpt_bf16, refresh_inside, _ablate)
 
     def _build_run():
         def physics(q, data_refs):
@@ -681,9 +755,37 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
         return _build_transition_padded(physics, padded + (lane_mask,),
                                         max_depth, min_delta, block_c,
                                         interpret, dense=dense,
-                                        ckpt_bf16=ckpt_bf16, ablate=_ablate)
+                                        ckpt_bf16=ckpt_bf16,
+                                        refresh_inside=refresh_inside,
+                                        ablate=_ablate)
 
     run = _cache_get(_RUN_CACHE, cache_key, _build_run)
+
+    if refresh_inside:
+        # momentum-scale array riding in the p0 input slot
+        scale_arr = (jnp.zeros((dpad, dpad), jnp.float32)
+                     .at[:dim, :dim].set(mass_chol.T) if dense else
+                     jnp.zeros((1, dpad), jnp.float32)
+                     .at[0, :dim].set(sqrt_mass))
+
+    def _run_padded(key, q0, epsc, validc):
+        cpad = q0.shape[0]
+        k_seed, _ = jax.random.split(key)
+        seed = jax.random.bits(k_seed, (2,), jnp.uint32).astype(jnp.int32)
+        dirsc = jnp.zeros((cpad, 1), jnp.int32)   # drawn in-kernel
+        unif = jnp.zeros((1, 1), jnp.float32)
+        (q, logp, grad, energy, lsa, term, tl, tr, depth, steps) = run(
+            q0, scale_arr, epsc, dirsc, validc, seed, unif, minv,
+            *padded, lane_mask)
+        steps_p = steps[:, 0]
+        accept = jnp.minimum(
+            jnp.exp(lsa[:, 0]) / jnp.maximum(steps_p, 1).astype(jnp.float32),
+            1.0)
+        stats = TreeStats(
+            energy=energy[:, 0], acceptance_rate=accept,
+            termination=term[:, 0], term_left=tl[:, 0], term_right=tr[:, 0],
+            depth=depth[:, 0], steps=steps_p)
+        return q, logp, grad, stats
 
     def transition(key, z, eps, *, directions=None, momentum=None):
         c = z.q.shape[0]
@@ -692,6 +794,19 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
         assert bc == block_c or cpad == bc, "n_chains must fill the tile"
 
         key, k_p, k_dir, k_seed = jax.random.split(key, 4)
+        if refresh_inside:
+            assert directions is None and momentum is None, (
+                "refresh_inside draws momentum/directions in-kernel; the "
+                "explicit test hooks need a refresh_inside=False build")
+            q0 = jnp.zeros((cpad, dpad), jnp.float32).at[:c, :dim].set(z.q)
+            epsc = jnp.zeros((cpad, 1), jnp.float32).at[:c, 0].set(
+                jnp.broadcast_to(jnp.asarray(eps, jnp.float32), (c,)))
+            validc = jnp.zeros((cpad, 1), jnp.int32).at[:c, 0].set(1)
+            q, logp, grad, stats = _run_padded(k_seed, q0, epsc, validc)
+            z_new = EvalPoint(q=q[:c, :dim], logp=logp[:c, 0],
+                              grad=grad[:c, :dim])
+            return z_new, jax.tree_util.tree_map(lambda x: x[:c], stats)
+
         if momentum is None:
             xi = jax.random.normal(k_p, (c, dim), jnp.float32)
             momentum = xi @ mass_chol.T if dense else sqrt_mass * xi
@@ -726,6 +841,11 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
         z_new = EvalPoint(q=q[:c, :dim], logp=logp[:c, 0], grad=grad[:c, :dim])
         return z_new, stats
 
+    if padded_io:
+        if not refresh_inside:
+            raise ValueError("padded_io requires refresh_inside (the padded "
+                             "loop draws all randomness in-kernel)")
+        return transition, _run_padded
     return transition
 
 
@@ -738,6 +858,8 @@ def make_gaussian_tree_transition(precision, metric_inv, *, max_depth: int = 10,
                                   min_delta: float = -1000.0,
                                   block_c: int = 512, interpret: bool = False,
                                   ckpt_bf16: bool = False,
+                                  refresh_inside: bool = False,
+                                  padded_io: bool = False,
                                   _ablate: frozenset = frozenset()):
     """Whole-transition kernel for ``grad = -precision * q`` targets — the
     flagship benchmark configuration, built on :func:`make_tree_transition`.
@@ -749,7 +871,8 @@ def make_gaussian_tree_transition(precision, metric_inv, *, max_depth: int = 10,
                                 metric_inv, max_depth=max_depth,
                                 min_delta=min_delta, block_c=block_c,
                                 interpret=interpret, ckpt_bf16=ckpt_bf16,
-                                _ablate=_ablate)
+                                refresh_inside=refresh_inside,
+                                padded_io=padded_io, _ablate=_ablate)
 
 
 def _dense_gaussian_tile_logp(q, refs):
@@ -772,6 +895,7 @@ def make_dense_gaussian_tree_transition(precision, metric_inv, *,
                                         block_c: int = 256,
                                         interpret: bool = False,
                                         ckpt_bf16: bool = False,
+                                        refresh_inside: bool = False,
                                         _ablate: frozenset = frozenset()):
     """Whole-transition kernel for dense-precision Gaussian targets
     (``models/gaussian.py::mvn``): ``grad = -P q`` is one ``[BC, dpad] @
@@ -788,6 +912,7 @@ def make_dense_gaussian_tree_transition(precision, metric_inv, *,
                                 min_delta=min_delta, block_c=block_c,
                                 interpret=interpret, ckpt_bf16=ckpt_bf16,
                                 tile_value_grad=_dense_gaussian_tile_vg,
+                                refresh_inside=refresh_inside,
                                 _ablate=_ablate)
 
 
@@ -799,6 +924,7 @@ def make_logistic_tree_transition(x, y, inv_var, metric_inv, *,
                                   min_delta: float = -1000.0,
                                   block_c: int = 128, interpret: bool = False,
                                   ckpt_bf16: bool = False,
+                                  refresh_inside: bool = False,
                                   physics_mode: str = "chunked",
                                   grad_bf16: bool = False,
                                   block_n: int = 2048):
@@ -924,4 +1050,5 @@ def make_logistic_tree_transition(x, y, inv_var, metric_inv, *,
     return make_tree_transition(tile_logp, data, d, metric_inv,
                                 max_depth=max_depth, min_delta=min_delta,
                                 block_c=block_c, interpret=interpret,
-                                ckpt_bf16=ckpt_bf16, tile_value_grad=tile_vg)
+                                ckpt_bf16=ckpt_bf16, tile_value_grad=tile_vg,
+                                refresh_inside=refresh_inside)

@@ -242,7 +242,7 @@ class NUTSKernel:
             # grad_bf16/block_n reach the logistic builder only — validate up
             # front so a typo'd or inapplicable knob fails here, not after
             # warmup has already started
-            _common = {"block_c", "ckpt_bf16"}
+            _common = {"block_c", "ckpt_bf16", "refresh_inside"}
             _by_kind = {"logistic": _common | {"physics_mode", "grad_bf16",
                                                "block_n"}}
             allowed = _by_kind.get(st.get("kind"), _common)
@@ -752,7 +752,7 @@ class NUTSKernel:
             while done < n_draws:
                 nb = min(draw_block, n_draws - done)
                 k_sample, kb = jax.random.split(k_sample)
-                blk = self._sampling_fn(nb, thin)(
+                blk = self._sampling_fn(nb, thin, kd)(
                     kb, WarmupState(z=z_cur, metric=state.metric,
                                     log_eps=state.log_eps))
                 z_cur = blk.z

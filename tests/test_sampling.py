@@ -474,3 +474,15 @@ def test_scheduled_transition_exactness_property():
         np.asarray(ema2),
         _SCHED_DECAY * np.asarray(ema)
         + (1 - _SCHED_DECAY) * np.asarray(stats_ref.steps)[inv], rtol=1e-6)
+
+
+def test_keep_dims_respected_in_plain_block_path():
+    """keep_dims must narrow result.draws in the blockwise path WITHOUT
+    collect_moments/collect_sketch too (regression: the plain block loop
+    dropped kd and returned full-D draws — found OOMing a 1002-dim
+    diagnostic at 10k chains)."""
+    model = std_normal(12)
+    res = mcmc_with_warmup(jax.random.PRNGKey(0), model, 10, 8,
+                           warmup_stages=[], eps=0.3, use_pallas="off",
+                           draw_block=4, keep_dims=(0, 5))
+    assert res.draws.shape == (10, 8, 2), res.draws.shape
