@@ -99,6 +99,43 @@ def arm_padded(block_c, reps, unroll=1):
     return _measure(block, reps, lambda q: q)
 
 
+def arm_sweep(block_c, reps, n_sweep):
+    """K transitions per kernel launch (n_sweep): the scan body + tile setup
+    amortize over the sweep; draws come back stacked [K, cpad, dpad]."""
+    from inplacedhmc_tpu.models import std_normal
+    from inplacedhmc_tpu.ops.common import chain_tiles, round_up
+    from inplacedhmc_tpu.ops.tree_pallas import make_gaussian_tree_transition
+
+    assert N_TRANS % n_sweep == 0
+    model = std_normal(DIM)
+    _, run_padded = make_gaussian_tree_transition(
+        model.structure["precision"], jnp.ones(DIM), max_depth=10,
+        block_c=block_c, refresh_inside=True, padded_io=True, n_sweep=n_sweep)
+    dpad = round_up(DIM, 128)
+    cpad, _ = chain_tiles(N_CHAINS, block_c)
+    epsc = jnp.full((cpad, 1), 0.25, jnp.float32)
+    validc = jnp.ones((cpad, 1), jnp.int32)
+
+    @jax.jit
+    def block(key, q):
+        q_pad = jnp.zeros((cpad, dpad), jnp.float32) \
+            .at[:N_CHAINS, :DIM].set(q)
+
+        def step(carry, k):
+            qp, total, acc = carry
+            q_draws, logp, grad, stats = run_padded(k, qp, epsc, validc)
+            return (q_draws[-1],
+                    total + jnp.sum(stats.steps.astype(jnp.int64)),
+                    acc + jnp.sum(stats.acceptance_rate)), None
+
+        (q_pad, total, acc), _ = jax.lax.scan(
+            step, (q_pad, jnp.asarray(0, jnp.int64), jnp.asarray(0.0)),
+            jax.random.split(key, N_TRANS // n_sweep))
+        return q_pad[:N_CHAINS, :DIM], total, acc
+
+    return _measure(block, reps, lambda q: q)
+
+
 def _measure(block, reps, unpack):
     key = jax.random.PRNGKey(0)
     q0 = jax.random.normal(key, (N_CHAINS, DIM), jnp.float32)
@@ -125,19 +162,30 @@ def _measure(block, reps, unpack):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--sweep-only", action="store_true",
+                    help="measure only the n_sweep arms")
     args = ap.parse_args()
 
     rows = []
-    for bc in [512, 1024, 2048]:
-        for arm, fn in [("classic", arm_classic), ("padded_rng", arm_padded)]:
-            r = {"arm": arm, "block_c": bc, **fn(bc, args.reps)}
+    if not args.sweep_only:
+        for bc in [512, 1024, 2048]:
+            for arm, fn in [("classic", arm_classic),
+                            ("padded_rng", arm_padded)]:
+                r = {"arm": arm, "block_c": bc, **fn(bc, args.reps)}
+                rows.append(r)
+                print(json.dumps(r), flush=True)
+        # scan-mechanics probe: fully unrolled loop — if per-iteration
+        # while-loop overhead is the invariant ~1.5 ms, straight-line code
+        # removes it
+        for bc, u in [(512, 16), (2048, 16)]:
+            r = {"arm": f"padded_rng_unroll{u}", "block_c": bc,
+                 **arm_padded(bc, args.reps, unroll=u)}
             rows.append(r)
             print(json.dumps(r), flush=True)
-    # scan-mechanics probe: fully unrolled loop — if per-iteration while-loop
-    # overhead is the invariant ~1.5 ms, straight-line code removes it
-    for bc, u in [(512, 16), (2048, 16)]:
-        r = {"arm": f"padded_rng_unroll{u}", "block_c": bc,
-             **arm_padded(bc, args.reps, unroll=u)}
+    # the in-kernel sweep: K transitions per launch
+    for bc, k in [(512, 4), (512, 16), (1024, 16), (2048, 16)]:
+        r = {"arm": f"sweep{k}", "block_c": bc,
+             **arm_sweep(bc, args.reps, k)}
         rows.append(r)
         print(json.dumps(r), flush=True)
 

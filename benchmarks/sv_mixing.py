@@ -54,6 +54,15 @@ def main():
     ap.add_argument("--asis", action="store_true",
                     help="interleave ASIS hyperparameter MH updates "
                          "(models.stoch_vol.make_asis_hook)")
+    ap.add_argument("--asis-per-coord", action="store_true",
+                    help="per-coordinate ASIS MH (decouples the tight "
+                         "log_s ancillary conditional from phi; see "
+                         "make_asis_hook docstring)")
+    ap.add_argument("--asis-scale", type=float, nargs=2, default=(0.06, 0.1),
+                    metavar=("PHI", "LOGS"),
+                    help="RW proposal sds for (arctanh phi, log s); the "
+                         "ancillary log_s conditional sd is ~1/sqrt(2T), so "
+                         "per-coord runs at T=1000 want ~0.05")
     ap.add_argument("--use-pallas", default="auto",
                     help="NUTSKernel use_pallas policy for this run")
     ap.add_argument("--checkpoint-dir", default=None,
@@ -95,9 +104,10 @@ def main():
         wck = os.path.join(args.checkpoint_dir, "warmup.npz")
         sck = os.path.join(args.checkpoint_dir, "sample.npz")
     post = None
-    if args.asis:
+    if args.asis or args.asis_per_coord:
         from inplacedhmc_tpu.models.stoch_vol import make_asis_hook
-        post = make_asis_hook(returns)
+        post = make_asis_hook(returns, scale=tuple(args.asis_scale),
+                              per_coord=args.asis_per_coord)
     res = mcmc_with_warmup(jax.random.PRNGKey(args.seed), model, args.draws,
                            args.chains, warmup_stages=stages, dtype=dtype,
                            post_step=post,
@@ -135,7 +145,9 @@ def main():
         "t": args.t, "chains": args.chains, "draws": args.draws,
         "thin": args.thin, "metric": args.metric, "rank": args.rank,
         "delta": args.delta, "doublings": args.doublings,
-        "stream": bool(args.stream), "asis": bool(args.asis),
+        "stream": bool(args.stream),
+        "asis": ("per_coord" if args.asis_per_coord
+                 else bool(args.asis)),
         "wall_s": round(wall, 1),
         "rhat_max": round(float(rhat.max()), 4),
         "rhat_phi": round(float(rhat[0]), 4),

@@ -93,7 +93,7 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                  term_max_depth: int, term_div: int, term_turn: int,
                  physics=None, n_data: int = 1, use_prng: bool = True,
                  dense: bool = False, ckpt_bf16: bool = False,
-                 refresh_inside: bool = False,
+                 refresh_inside: bool = False, n_sweep: int = 1,
                  ablate: frozenset = frozenset()):
     """``physics(q_tile, data_refs) -> (logp [bc,1], grad [bc,dpad])`` — the
     model's fused value+gradient on a chain tile; evaluated once per leapfrog
@@ -132,6 +132,8 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
     assert not (refresh_inside and not use_prng), \
         "refresh_inside needs the TPU PRNG (no interpret mode)"
 
+    n_unif_c = (1 << max_depth) - 1 + max_depth
+
     def kernel(q0_ref, p0_ref, eps_ref, dirs_ref, valid_ref, seed_ref,
                *rest):
         # refresh_inside: p0_ref is the momentum SCALE (sqrt-mass row [1,dpad]
@@ -141,19 +143,21 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
         # (measured: 1.83 ms/transition of out-of-kernel scan-body cost at
         # the flagship point, benchmarks/transition_attr.json).
         #
+        # n_sweep > 1: run that many sequential NUTS transitions inside THIS
+        # kernel launch (state carried in VMEM, per-transition stats written
+        # to [n_sweep, ...] outputs through dynamic leading-dim stores) — the
+        # out-of-kernel scan body plus per-tile setup then amortize over the
+        # whole sweep instead of recurring per transition.
+        #
         # interpret mode (CPU tests) has no TPU PRNG: proposal uniforms come
         # in as a per-(leaf, epilogue) stream indexed by the lockstep-global
-        # counter, so sampling stays exact (not degenerate) off-TPU
+        # counter (offset per sweep transition), so sampling stays exact (not
+        # degenerate) off-TPU
         if not use_prng:
             unif_ref = rest[0]
             rest = rest[1:]
         minv_ref = rest[0]
         rest = rest[1:]
-
-        def _u(idx):
-            if use_prng:
-                return _uniform_from_bits((bc, 1))
-            return unif_ref[idx, :].reshape(bc, 1)
 
         data_refs = rest[:n_data]
         (out_q, out_logp, out_grad, out_energy, out_lsa,
@@ -184,40 +188,11 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
             def psharp(p):
                 return minv * p
 
-        q0 = q0_ref[:]
-        if refresh_inside:
-            xi = _gauss_from_bits((bc, dpad))
-            if dense:
-                # p0 = xi @ chol(M)^T — scale ref holds the transposed
-                # Cholesky padded with zero dead lanes, so p0 is 0 there
-                p0 = jnp.dot(xi, p0_ref[:],
-                             preferred_element_type=jnp.float32)
-            else:
-                p0 = p0_ref[0:1, :] * xi   # sqrt-mass row, 0 on dead lanes
-        else:
-            p0 = p0_ref[:]
-
-        logp0, g0 = physics(q0, data_refs)
-        ps0 = psharp(p0)
-        kin0 = 0.5 * jnp.sum(p0 * ps0, axis=1, keepdims=True)
-        pi0 = logp0 - kin0
         neg_inf = jnp.float32(-jnp.inf)
         zf = jnp.zeros((bc, 1), jnp.float32)
         zi = jnp.zeros((bc, 1), jnp.int32)
         onei = jnp.ones((bc, 1), jnp.int32)
-
-        # trajectory init: the single initial leaf.  Only the frontier's
-        # gradient is stored (cur_g); endpoint/proposal grads are recomputed
-        # by one physics call per subtree / per transition, keeping VMEM at
-        # 13 [BC, D] buffers.
-        left_q[:] = q0; left_p[:] = p0
-        right_q[:] = q0; right_p[:] = p0
-        left_g[:] = g0; right_g[:] = g0
-        cur_g[:] = g0
-        ps_l[:] = ps0; ps_r[:] = ps0
-        rho[:] = p0
-        prop_q[:] = q0
-        sub_q[:] = q0
+        valid = valid_ref[:]
 
         def setf(idx, v):
             colf[:, idx:idx + 1] = v
@@ -231,28 +206,7 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
         def geti(idx):
             return coli[:, idx:idx + 1]
 
-        setf(OMEGA, zf); setf(OMEGA_SUB, zf + neg_inf)
-        setf(PROP_DELTA, zf); setf(PROP_LOGP, logp0)
-        setf(SUB_DELTA, zf); setf(SUB_LOGP, logp0)
-        setf(SUM_ALPHA, zf); setf(SIGN, zf + 1.0)
-        setf(PI0, pi0); setf(EPS, eps_ref[:])
-        seti(I_LEFT, zi); seti(I_RIGHT, zi); seti(I_BASE, zi)
-        seti(STEPS, zi); seti(TERM, zi + term_max_depth)
-        seti(TL, onei); seti(TR, zi)  # REACHED_MAX_DEPTH sentinel (1, 0)
-        seti(DEPTH, zi)
-        # padded chain rows start inactive so tiles with padding terminate
-        # with the real chains instead of running all 2^max_depth iterations
-        valid = valid_ref[:]
-        seti(ACTIVE, valid); seti(ALIVE, valid)
-        seti(DIED_DIV, zi); seti(DIED_TURN, zi)
-        seti(DIE_L, zi); seti(DIE_R, zi)
-        if refresh_inside:
-            seti(DIRS, pltpu.bitcast(pltpu.prng_random_bits((bc, 1)),
-                                     jnp.int32))
-        else:
-            seti(DIRS, dirs_ref[:])
-
-        def make_leaf_body(d_level):
+        def make_leaf_body(d_level, _u):
             """Leaf step for a depth-``d_level`` subtree (n in [0, 2^d))."""
 
             def leaf_body(n, carry):
@@ -413,7 +367,7 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
 
             return leaf_body
 
-        def doubling_block(d):
+        def doubling_block(d, _u):
             # subtree setup (tree.jl:395-408)
             dirs = geti(DIRS)
             isf = jnp.bitwise_and(jnp.right_shift(dirs, d), 1) == 1
@@ -434,13 +388,13 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
             seti(DIED_TURN, zi)
 
             if d == 0:
-                make_leaf_body(0)(0, 0)
+                make_leaf_body(0, _u)(0, 0)
             else:
                 # leaf-level early exit: once every row in the tile has died
                 # inside this subtree (divergence / inner U-turn), the
                 # remaining static iterations carry no live work — skip the
                 # physics + bookkeeping body (one scalar reduce per leaf).
-                leaf = make_leaf_body(d)
+                leaf = make_leaf_body(d, _u)
 
                 def guarded_leaf(n, carry, leaf=leaf):
                     @pl.when(jnp.sum(coli[:, ALIVE]) > 0)
@@ -508,25 +462,128 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                                jnp.where(died_top, geti(I_RIGHT), geti(TR))))
             seti(ACTIVE, jnp.where(jnp.logical_and(m, ~turn_top), 1, 0))
 
-        # statically unrolled doubling loop, predicated per tile
-        for d in range(max_depth):
-            @pl.when(jnp.sum(coli[:, ACTIVE]) > 0)
-            def _run(d=d):
-                doubling_block(d)
+        def run_transition(s):
+            """One full NUTS transition starting from the sweep carry in
+            ``prop_q`` (seeded from ``q0_ref`` before the dispatch below).
+            ``s`` is the sweep index: the static 0 when ``n_sweep == 1``,
+            the ``fori_loop`` counter otherwise."""
+            if use_prng:
+                def _u(idx):
+                    return _uniform_from_bits((bc, 1))
+            else:
+                def _u(idx):
+                    return unif_ref[s * n_unif_c + idx, :].reshape(bc, 1)
 
-        out_q[:] = prop_q[:]
-        _, g_out = physics(prop_q[:], data_refs)
-        out_grad[:] = g_out
-        out_logp[:] = getf(PROP_LOGP)
-        out_energy[:] = getf(PROP_DELTA) + getf(PI0)
-        # back to log space once per transition (0 -> -inf, matching the
-        # logaddexp formulation's neg-inf init)
-        out_lsa[:] = jnp.log(getf(SUM_ALPHA))
-        out_term[:] = geti(TERM)
-        out_tl[:] = geti(TL)
-        out_tr[:] = geti(TR)
-        out_depth[:] = geti(DEPTH)
-        out_steps[:] = geti(STEPS)
+            q0 = prop_q[:]
+            if refresh_inside:
+                xi = _gauss_from_bits((bc, dpad))
+                if dense:
+                    # p0 = xi @ chol(M)^T — scale ref holds the transposed
+                    # Cholesky padded with zero dead lanes, so p0 is 0 there
+                    p0 = jnp.dot(xi, p0_ref[:],
+                                 preferred_element_type=jnp.float32)
+                else:
+                    p0 = p0_ref[0:1, :] * xi   # sqrt-mass row, 0 on dead lanes
+            elif n_sweep > 1:
+                # per-transition momentum stack (interpret-mode test path)
+                p0 = p0_ref[pl.ds(s, 1)][0]
+            else:
+                p0 = p0_ref[:]
+
+            logp0, g0 = physics(q0, data_refs)
+            ps0 = psharp(p0)
+            kin0 = 0.5 * jnp.sum(p0 * ps0, axis=1, keepdims=True)
+            pi0 = logp0 - kin0
+
+            # trajectory init: the single initial leaf.  Only the frontier's
+            # gradient is stored (cur_g); endpoint/proposal grads are
+            # recomputed by one physics call per subtree / per transition,
+            # keeping VMEM at 13 [BC, D] buffers.
+            left_q[:] = q0; left_p[:] = p0
+            right_q[:] = q0; right_p[:] = p0
+            left_g[:] = g0; right_g[:] = g0
+            cur_g[:] = g0
+            ps_l[:] = ps0; ps_r[:] = ps0
+            rho[:] = p0
+            sub_q[:] = q0   # prop_q already holds q0 (it IS the carry)
+
+            setf(OMEGA, zf); setf(OMEGA_SUB, zf + neg_inf)
+            setf(PROP_DELTA, zf); setf(PROP_LOGP, logp0)
+            setf(SUB_DELTA, zf); setf(SUB_LOGP, logp0)
+            setf(SUM_ALPHA, zf); setf(SIGN, zf + 1.0)
+            setf(PI0, pi0); setf(EPS, eps_ref[:])
+            seti(I_LEFT, zi); seti(I_RIGHT, zi); seti(I_BASE, zi)
+            seti(STEPS, zi); seti(TERM, zi + term_max_depth)
+            seti(TL, onei); seti(TR, zi)  # REACHED_MAX_DEPTH sentinel (1, 0)
+            seti(DEPTH, zi)
+            # padded chain rows start inactive so tiles with padding
+            # terminate with the real chains instead of running all
+            # 2^max_depth iterations
+            seti(ACTIVE, valid); seti(ALIVE, valid)
+            seti(DIED_DIV, zi); seti(DIED_TURN, zi)
+            seti(DIE_L, zi); seti(DIE_R, zi)
+            if refresh_inside:
+                seti(DIRS, pltpu.bitcast(pltpu.prng_random_bits((bc, 1)),
+                                         jnp.int32))
+            elif n_sweep > 1:
+                seti(DIRS, dirs_ref[pl.ds(s, 1)][0])
+            else:
+                seti(DIRS, dirs_ref[:])
+
+            # statically unrolled doubling loop, predicated per tile
+            for d in range(max_depth):
+                @pl.when(jnp.sum(coli[:, ACTIVE]) > 0)
+                def _run(d=d):
+                    doubling_block(d, _u)
+
+            if n_sweep == 1:
+                out_q[:] = prop_q[:]
+                _, g_out = physics(prop_q[:], data_refs)
+                out_grad[:] = g_out
+                out_logp[:] = getf(PROP_LOGP)
+                out_energy[:] = getf(PROP_DELTA) + getf(PI0)
+                # back to log space once per transition (0 -> -inf, matching
+                # the logaddexp formulation's neg-inf init)
+                out_lsa[:] = jnp.log(getf(SUM_ALPHA))
+                out_term[:] = geti(TERM)
+                out_tl[:] = geti(TL)
+                out_tr[:] = geti(TR)
+                out_depth[:] = geti(DEPTH)
+                out_steps[:] = geti(STEPS)
+            else:
+                # dynamic leading-dim stores into [n_sweep, bc, X] blocks
+                # (same untiled-leading-dim pattern as the checkpoint
+                # stacks); the final gradient is written once after the
+                # sweep loop — intermediate transitions recompute it from
+                # the carried position at their own init physics call
+                out_q[pl.ds(s, 1)] = prop_q[:][None]
+                out_logp[pl.ds(s, 1)] = getf(PROP_LOGP)[None]
+                out_energy[pl.ds(s, 1)] = (getf(PROP_DELTA) + getf(PI0))[None]
+                out_lsa[pl.ds(s, 1)] = jnp.log(getf(SUM_ALPHA))[None]
+                out_term[pl.ds(s, 1)] = geti(TERM)[None]
+                out_tl[pl.ds(s, 1)] = geti(TL)[None]
+                out_tr[pl.ds(s, 1)] = geti(TR)[None]
+                out_depth[pl.ds(s, 1)] = geti(DEPTH)[None]
+                out_steps[pl.ds(s, 1)] = geti(STEPS)[None]
+
+        # the proposal buffer doubles as the sweep carry: transition s starts
+        # from the proposal of s-1 (a fully-rejected transition leaves it at
+        # the start point — exactly the NUTS semantics), so n_sweep
+        # transitions pay ONE kernel launch, one tile setup, and one
+        # out-of-kernel scan iteration between them instead of n_sweep
+        # (measured 1.83 ms/transition of scan-body cost at the flagship
+        # point, benchmarks/transition_attr.json)
+        prop_q[:] = q0_ref[:]
+        if n_sweep == 1:
+            run_transition(0)
+        else:
+            def sweep_body(s, carry):
+                run_transition(s)
+                return carry
+
+            lax.fori_loop(0, n_sweep, sweep_body, 0)
+            _, g_out = physics(prop_q[:], data_refs)
+            out_grad[:] = g_out
 
     return kernel
 
@@ -534,11 +591,16 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
 def _build_transition_padded(physics, data_arrays, max_depth: int,
                              min_delta: float, block_c: int, interpret: bool,
                              dense: bool = False, ckpt_bf16: bool = False,
-                             refresh_inside: bool = False,
+                             refresh_inside: bool = False, n_sweep: int = 1,
                              ablate: frozenset = frozenset()):
     """Construct the jitted padded-transition function for one physics/data
     configuration.  ``data_arrays``: tuple of 2-D f32 arrays passed whole into
-    VMEM (model data: design matrices, observations, masks...)."""
+    VMEM (model data: design matrices, observations, masks...).
+
+    ``n_sweep > 1``: the kernel runs that many sequential NUTS transitions
+    per launch (state carried in VMEM); outputs other than the gradient gain
+    a leading ``n_sweep`` axis, and the momentum/direction/uniform inputs are
+    per-transition stacks in interpret mode (in-kernel PRNG on TPU)."""
     from ..core.state import Termination
 
     n_data = len(data_arrays)
@@ -547,7 +609,7 @@ def _build_transition_padded(physics, data_arrays, max_depth: int,
     i32 = jnp.int32
     ckpt_dtype = jnp.bfloat16 if ckpt_bf16 else f32
 
-    n_unif = (1 << max_depth) - 1 + max_depth
+    n_unif = ((1 << max_depth) - 1 + max_depth) * n_sweep
 
     @jax.jit
     def run(q0, p0, eps, dirs, valid, seed, unif, minv, *data):
@@ -567,11 +629,20 @@ def _build_transition_padded(physics, data_arrays, max_depth: int,
         smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
         data_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in data]
         # refresh_inside: the p0 slot carries the momentum scale (sqrt-mass
-        # row / transposed mass-Cholesky) instead of per-chain momenta
-        pspec = vec if not refresh_inside else \
-            (pl.BlockSpec(memory_space=pltpu.VMEM) if dense
-             else pl.BlockSpec((1, dpad), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM))
+        # row / transposed mass-Cholesky) instead of per-chain momenta;
+        # n_sweep > 1 without refresh_inside (interpret tests): per-sweep
+        # momentum/direction stacks with an untiled leading sweep dim
+        svec = pl.BlockSpec((n_sweep, bc, dpad), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+        scol = pl.BlockSpec((n_sweep, bc, 1), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+        if refresh_inside:
+            pspec = (pl.BlockSpec(memory_space=pltpu.VMEM) if dense
+                     else pl.BlockSpec((1, dpad), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM))
+        else:
+            pspec = vec if n_sweep == 1 else svec
+        dirspec = col if (n_sweep == 1 or refresh_inside) else scol
 
         # the kernel closes over bc but reads dpad from ref shapes; a
         # fresh _make_kernel per (bc, dpad) keeps the unrolled code exact
@@ -580,22 +651,20 @@ def _build_transition_padded(physics, data_arrays, max_depth: int,
                          Termination.TURNING, physics=physics, n_data=n_data,
                          use_prng=not interpret, dense=dense,
                          ckpt_bf16=ckpt_bf16, refresh_inside=refresh_inside,
-                         ablate=ablate)
+                         n_sweep=n_sweep, ablate=ablate)
         if interpret:
             uspec = pl.BlockSpec((n_unif, bc), lambda i: (0, i),
                                  memory_space=pltpu.VMEM)
-            in_specs = [vec, pspec, col, col, col, smem1, uspec, mspec,
+            in_specs = [vec, pspec, col, dirspec, col, smem1, uspec, mspec,
                         *data_specs]
             inputs = (q0, p0, eps, dirs, valid, seed, unif, minv, *data)
         else:
-            in_specs = [vec, pspec, col, col, col, smem1, mspec, *data_specs]
+            in_specs = [vec, pspec, col, dirspec, col, smem1, mspec,
+                        *data_specs]
             inputs = (q0, p0, eps, dirs, valid, seed, minv, *data)
-        return pl.pallas_call(
-            k,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=[vec, col, vec, col, col, col, col, col, col, col],
-            out_shape=[
+        if n_sweep == 1:
+            out_specs = [vec, col, vec, col, col, col, col, col, col, col]
+            out_shape = [
                 jax.ShapeDtypeStruct((cpad, dpad), f32),   # q
                 jax.ShapeDtypeStruct((cpad, 1), f32),      # logp
                 jax.ShapeDtypeStruct((cpad, dpad), f32),   # grad
@@ -606,7 +675,30 @@ def _build_transition_padded(physics, data_arrays, max_depth: int,
                 jax.ShapeDtypeStruct((cpad, 1), i32),      # tr
                 jax.ShapeDtypeStruct((cpad, 1), i32),      # depth
                 jax.ShapeDtypeStruct((cpad, 1), i32),      # steps
-            ],
+            ]
+        else:
+            # grad is final-state-only ([cpad, dpad]); everything else is
+            # per-transition with a leading sweep axis
+            out_specs = [svec, scol, vec, scol, scol,
+                         scol, scol, scol, scol, scol]
+            out_shape = [
+                jax.ShapeDtypeStruct((n_sweep, cpad, dpad), f32),  # q draws
+                jax.ShapeDtypeStruct((n_sweep, cpad, 1), f32),     # logp
+                jax.ShapeDtypeStruct((cpad, dpad), f32),           # grad
+                jax.ShapeDtypeStruct((n_sweep, cpad, 1), f32),     # energy
+                jax.ShapeDtypeStruct((n_sweep, cpad, 1), f32),     # lsa
+                jax.ShapeDtypeStruct((n_sweep, cpad, 1), i32),     # term
+                jax.ShapeDtypeStruct((n_sweep, cpad, 1), i32),     # tl
+                jax.ShapeDtypeStruct((n_sweep, cpad, 1), i32),     # tr
+                jax.ShapeDtypeStruct((n_sweep, cpad, 1), i32),     # depth
+                jax.ShapeDtypeStruct((n_sweep, cpad, 1), i32),     # steps
+            ]
+        return pl.pallas_call(
+            k,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[
                 *[pltpu.VMEM((bc, dpad), f32) for _ in range(15)],
                 pltpu.VMEM((md1, bc, dpad), ckpt_dtype),
@@ -648,6 +740,7 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
                          tile_value_grad=None,
                          refresh_inside: bool = False,
                          padded_io: bool = False,
+                         n_sweep: int = 1,
                          _ablate: frozenset = frozenset()):
     """Whole-transition kernel for **arbitrary tile physics**.
 
@@ -688,6 +781,21 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
     layout — a scan loop carries the padded state and pays the pad/unpad
     once per block instead of per transition.  Padded rows of ``stats`` are
     zeros (``valid`` starts them inactive).  Requires ``refresh_inside``.
+
+    ``n_sweep > 1``: run that many sequential NUTS transitions per kernel
+    launch, carrying the chain state in VMEM — one launch, one tile setup,
+    and one host scan iteration amortize over the whole sweep (the measured
+    1.83 ms/transition of out-of-kernel scan-body cost plus ~25 µs/tile,
+    ``benchmarks/transition_attr.json``).  On TPU this requires
+    ``refresh_inside`` (+ ``padded_io`` for the driver loop);
+    ``run_padded`` then returns ``(q_draws [n_sweep, cpad, dpad],
+    logp [n_sweep, cpad], grad_pad, stats)`` with a leading sweep axis on
+    every stat — the scan carry is ``q_draws[-1]``.  In interpret mode the
+    momentum/directions become per-transition stacks
+    (``[n_sweep, c, dim]`` / ``[n_sweep, c]``) and ``transition`` returns
+    ``(z_final, q_draws [n_sweep, c, dim], stats)`` — the CPU test path
+    proving the sweep is bit-identical to sequential single-transition
+    launches.
     """
     from ..core.metric import DenseMetric, DiagMetric, dense_metric
     from ..core.state import EvalPoint, TreeStats
@@ -731,10 +839,13 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
     if refresh_inside and interpret:
         raise ValueError("refresh_inside needs the TPU PRNG "
                          "(incompatible with interpret mode)")
+    if n_sweep > 1 and not (refresh_inside or interpret):
+        raise ValueError("n_sweep > 1 needs refresh_inside (TPU) or "
+                         "interpret mode (explicit per-sweep stacks)")
     cache_key = (tile_logp, tile_value_grad, tuple(names),
                  tuple(a.shape for a in padded),
                  dim, max_depth, float(min_delta), block_c, interpret,
-                 dense, ckpt_bf16, refresh_inside, _ablate)
+                 dense, ckpt_bf16, refresh_inside, n_sweep, _ablate)
 
     def _build_run():
         def physics(q, data_refs):
@@ -757,7 +868,7 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
                                         interpret, dense=dense,
                                         ckpt_bf16=ckpt_bf16,
                                         refresh_inside=refresh_inside,
-                                        ablate=_ablate)
+                                        n_sweep=n_sweep, ablate=_ablate)
 
     run = _cache_get(_RUN_CACHE, cache_key, _build_run)
 
@@ -777,17 +888,21 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
         (q, logp, grad, energy, lsa, term, tl, tr, depth, steps) = run(
             q0, scale_arr, epsc, dirsc, validc, seed, unif, minv,
             *padded, lane_mask)
-        steps_p = steps[:, 0]
+        # n_sweep == 1: [cpad, X] outputs; n_sweep > 1: leading sweep axis
+        # on everything except grad (final state only) — `...` handles both
+        steps_p = steps[..., 0]
         accept = jnp.minimum(
-            jnp.exp(lsa[:, 0]) / jnp.maximum(steps_p, 1).astype(jnp.float32),
+            jnp.exp(lsa[..., 0]) / jnp.maximum(steps_p, 1).astype(jnp.float32),
             1.0)
         stats = TreeStats(
-            energy=energy[:, 0], acceptance_rate=accept,
-            termination=term[:, 0], term_left=tl[:, 0], term_right=tr[:, 0],
-            depth=depth[:, 0], steps=steps_p)
+            energy=energy[..., 0], acceptance_rate=accept,
+            termination=term[..., 0],
+            term_left=tl[..., 0], term_right=tr[..., 0],
+            depth=depth[..., 0], steps=steps_p)
         return q, logp, grad, stats
 
-    def transition(key, z, eps, *, directions=None, momentum=None):
+    def transition(key, z, eps, *, directions=None, momentum=None,
+                   _unif=None):
         c = z.q.shape[0]
         assert z.q.shape[1] == dim
         cpad, bc = chain_tiles(c, block_c)
@@ -803,9 +918,50 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
                 jnp.broadcast_to(jnp.asarray(eps, jnp.float32), (c,)))
             validc = jnp.zeros((cpad, 1), jnp.int32).at[:c, 0].set(1)
             q, logp, grad, stats = _run_padded(k_seed, q0, epsc, validc)
+            if n_sweep > 1:
+                z_new = EvalPoint(q=q[-1, :c, :dim], logp=logp[-1, :c, 0],
+                                  grad=grad[:c, :dim])
+                return (z_new, q[:, :c, :dim],
+                        jax.tree_util.tree_map(lambda x: x[:, :c], stats))
             z_new = EvalPoint(q=q[:c, :dim], logp=logp[:c, 0],
                               grad=grad[:c, :dim])
             return z_new, jax.tree_util.tree_map(lambda x: x[:c], stats)
+
+        n_unif1 = (1 << max_depth) - 1 + max_depth
+        if n_sweep > 1:
+            # interpret-only sweep path with explicit per-transition stacks —
+            # the bit-exactness test bed (vs sequential n_sweep=1 launches)
+            assert momentum is not None and directions is not None, (
+                "n_sweep > 1 without refresh_inside requires explicit "
+                "momentum [n_sweep, c, dim] and directions [n_sweep, c]")
+            assert momentum.shape == (n_sweep, c, dim)
+            assert directions.shape == (n_sweep, c)
+            q0 = jnp.zeros((cpad, dpad), jnp.float32).at[:c, :dim].set(z.q)
+            p0 = jnp.zeros((n_sweep, cpad, dpad), jnp.float32) \
+                .at[:, :c, :dim].set(momentum)
+            dirsc = jnp.zeros((n_sweep, cpad, 1), jnp.int32) \
+                .at[:, :c, 0].set(directions.astype(jnp.int32))
+            epsc = jnp.zeros((cpad, 1), jnp.float32).at[:c, 0].set(
+                jnp.broadcast_to(jnp.asarray(eps, jnp.float32), (c,)))
+            validc = jnp.zeros((cpad, 1), jnp.int32).at[:c, 0].set(1)
+            seed = jax.random.bits(k_seed, (2,), jnp.uint32).astype(jnp.int32)
+            unif = _unif if _unif is not None else jax.random.uniform(
+                k_seed, (n_sweep * n_unif1, cpad), jnp.float32)
+            (q, logp, grad, energy, lsa, term, tl, tr, depth, steps) = run(
+                q0, p0, epsc, dirsc, validc, seed, unif, minv,
+                *padded, lane_mask)
+            steps_s = steps[:, :c, 0]
+            accept = jnp.minimum(
+                jnp.exp(lsa[:, :c, 0])
+                / jnp.maximum(steps_s, 1).astype(jnp.float32), 1.0)
+            stats = TreeStats(
+                energy=energy[:, :c, 0], acceptance_rate=accept,
+                termination=term[:, :c, 0],
+                term_left=tl[:, :c, 0], term_right=tr[:, :c, 0],
+                depth=depth[:, :c, 0], steps=steps_s)
+            z_new = EvalPoint(q=q[-1, :c, :dim], logp=logp[-1, :c, 0],
+                              grad=grad[:c, :dim])
+            return z_new, q[:, :c, :dim], stats
 
         if momentum is None:
             xi = jax.random.normal(k_p, (c, dim), jnp.float32)
@@ -814,8 +970,8 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
             directions = jax.random.bits(k_dir, (c,), jnp.uint32)
         seed = jax.random.bits(k_seed, (2,), jnp.uint32).astype(jnp.int32)
         if interpret:
-            n_unif = (1 << max_depth) - 1 + max_depth
-            unif = jax.random.uniform(k_seed, (n_unif, cpad), jnp.float32)
+            unif = _unif if _unif is not None else jax.random.uniform(
+                k_seed, (n_unif1, cpad), jnp.float32)
         else:
             unif = jnp.zeros((1, 1), jnp.float32)
 
@@ -860,6 +1016,7 @@ def make_gaussian_tree_transition(precision, metric_inv, *, max_depth: int = 10,
                                   ckpt_bf16: bool = False,
                                   refresh_inside: bool = False,
                                   padded_io: bool = False,
+                                  n_sweep: int = 1,
                                   _ablate: frozenset = frozenset()):
     """Whole-transition kernel for ``grad = -precision * q`` targets — the
     flagship benchmark configuration, built on :func:`make_tree_transition`.
@@ -872,7 +1029,8 @@ def make_gaussian_tree_transition(precision, metric_inv, *, max_depth: int = 10,
                                 min_delta=min_delta, block_c=block_c,
                                 interpret=interpret, ckpt_bf16=ckpt_bf16,
                                 refresh_inside=refresh_inside,
-                                padded_io=padded_io, _ablate=_ablate)
+                                padded_io=padded_io, n_sweep=n_sweep,
+                                _ablate=_ablate)
 
 
 def _dense_gaussian_tile_logp(q, refs):

@@ -448,3 +448,63 @@ def test_mvn_auto_selects_dense_gaussian_kernel():
     assert kern.transition_factory is not None
     trans = kern.transition_factory(identity_metric(4, jnp.float32), 16)
     assert trans is not None
+
+
+def test_sweep_kernel_bit_identical_to_sequential():
+    """n_sweep=K (K transitions per kernel launch, state carried in VMEM)
+    must be BIT-identical to K sequential n_sweep=1 launches when fed the
+    same momenta, direction bits, and proposal-uniform streams — the sweep
+    changes the launch structure, not one float of the algorithm."""
+    d, c, max_depth, K = 7, 16, 5, 3
+    rng = np.random.default_rng(3)
+    prec = (rng.gamma(2.0, size=d) + 0.3).astype(np.float32)
+    minv = (rng.gamma(2.0, size=d) + 0.3).astype(np.float32)
+
+    def logp_jax(q):
+        return -0.5 * jnp.sum(q * (jnp.asarray(prec) * q))
+
+    q0 = rng.normal(size=(c, d)).astype(np.float32)
+    p_all = rng.normal(size=(K, c, d)).astype(np.float32)
+    dirs_all = rng.integers(0, 2**32, size=(K, c), dtype=np.uint32)
+    n_unif1 = (1 << max_depth) - 1 + max_depth
+    cpad = 16
+    u_all = rng.uniform(size=(K, n_unif1, cpad)).astype(np.float32)
+
+    pot = batched_logdensity_and_grad(logp_jax)
+    lp, g = pot(jnp.asarray(q0))
+    z = EvalPoint(q=jnp.asarray(q0), logp=lp, grad=g)
+
+    # sequential arm: K single-transition launches
+    tr1 = make_gaussian_tree_transition(jnp.asarray(prec), jnp.asarray(minv),
+                                        max_depth=max_depth, block_c=16,
+                                        interpret=True)
+    zs, seq_q, seq_stats = z, [], []
+    for k in range(K):
+        zs, st = tr1(jax.random.PRNGKey(11 + k), zs, 0.3,
+                     directions=jnp.asarray(dirs_all[k]),
+                     momentum=jnp.asarray(p_all[k]),
+                     _unif=jnp.asarray(u_all[k]))
+        seq_q.append(np.asarray(zs.q))
+        seq_stats.append(st)
+
+    # sweep arm: one K-transition launch
+    trK = make_gaussian_tree_transition(jnp.asarray(prec), jnp.asarray(minv),
+                                        max_depth=max_depth, block_c=16,
+                                        interpret=True, n_sweep=K)
+    zf, draws, st_sweep = trK(jax.random.PRNGKey(99), z, 0.3,
+                              directions=jnp.asarray(dirs_all),
+                              momentum=jnp.asarray(p_all),
+                              _unif=jnp.asarray(
+                                  u_all.reshape(K * n_unif1, cpad)))
+
+    assert draws.shape == (K, c, d)
+    for k in range(K):
+        np.testing.assert_array_equal(np.asarray(draws[k]), seq_q[k])
+        for field in ("energy", "acceptance_rate", "termination",
+                      "term_left", "term_right", "depth", "steps"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(st_sweep, field)[k]),
+                np.asarray(getattr(seq_stats[k], field)), err_msg=field)
+    np.testing.assert_array_equal(np.asarray(zf.q), seq_q[-1])
+    np.testing.assert_array_equal(np.asarray(zf.logp), np.asarray(zs.logp))
+    np.testing.assert_array_equal(np.asarray(zf.grad), np.asarray(zs.grad))
