@@ -266,6 +266,19 @@ def _scheduled_transition(k, z, ema, eps, **kw):
     if ema is None:
         z2, stats = _one_transition(k, z, eps, **kw)
         return z2, stats, None
+    ft = kw.get("fused_trans")
+    if getattr(ft, "schedules_internally", False):
+        # sharded transitions sort per-shard inside the shard_map wrapper
+        # (sample._shard_map_transition): each device argsorts its local
+        # chain rows — no cross-device sort collective.  The post_step hook
+        # still composes here, in original chain coordinates.
+        post_step = kw.get("post_step")
+        if post_step is not None:
+            k, k_hook = jax.random.split(k)
+        z2, stats, ema2 = ft(k, z, eps, ema)
+        if post_step is not None:
+            z2 = post_step(k_hook, z2)
+        return z2, stats, ema2
     perm = jnp.argsort(ema)                 # ascending predicted work
     inv = jnp.argsort(perm)
     take = lambda x: jnp.take(x, perm, axis=0)
@@ -471,6 +484,81 @@ class SamplingResult(NamedTuple):
     moments: Optional[SplitMoments] = None
 
 
+class SweepRunner(NamedTuple):
+    """Sweep metadata a transition factory attaches (as ``_sweep``) to the
+    per-transition function when the whole-tree kernel was built with
+    ``padded_io`` — :func:`run_sampling` then drives the persistent padded
+    loop instead of the per-transition path."""
+
+    run_padded: Callable   # (key, q_pad, eps_col, valid_col) -> (q, lp, g, st)
+    n_sweep: int           # transitions per kernel launch
+    block_c: int           # kernel chain-tile size (pads C up to a multiple)
+
+
+def _run_sampling_swept(key, potential, state: WarmupState, n_draws: int,
+                        sweep: SweepRunner, thin: int, kd,
+                        moments0: Optional[SplitMoments],
+                        moment_offset, total: int) -> SamplingResult:
+    """Sampling via the kernel's padded persistent loop: the scan carries the
+    ``[cpad, dpad]`` state, each iteration launches one kernel running
+    ``n_sweep`` sequential transitions in VMEM.  Semantics match the
+    per-transition path: with ``thin``, every ``thin``-th transition's draw
+    and stats are recorded; streaming split-chain moments accumulate over the
+    recorded draws with the same global half assignment."""
+    from ..ops.common import chain_tiles, round_up
+
+    c, dim = state.z.q.shape
+    dtype = state.z.q.dtype
+    cpad, _ = chain_tiles(c, sweep.block_c)
+    dpad = round_up(dim, 128)
+    K = sweep.n_sweep
+    Kr = K // thin                       # draws recorded per launch
+    n_launch = (n_draws * thin) // K
+
+    eps = jnp.exp(state.log_eps)
+    epsc = jnp.zeros((cpad, 1), jnp.float32).at[:c, 0].set(
+        jnp.broadcast_to(jnp.asarray(eps, jnp.float32), (c,)))
+    validc = jnp.zeros((cpad, 1), jnp.int32).at[:c, 0].set(1)
+    q_pad0 = jnp.zeros((cpad, dpad), jnp.float32).at[:c, :dim].set(state.z.q)
+    keys = jax.random.split(key, n_launch)
+
+    def step(carry, xs):
+        qp, mom = carry
+        k, i = xs
+        q_draws, logp, grad, stats = sweep.run_padded(k, qp, epsc, validc)
+        if K == 1:   # unstacked single-transition outputs: add the sweep axis
+            q_draws = q_draws[None]
+            stats = jax.tree_util.tree_map(lambda x: x[None], stats)
+        rec_full = q_draws[thin - 1::thin, :c, :dim]      # [Kr, C, D]
+        rec = rec_full if kd is None else jnp.take(rec_full, kd, axis=-1)
+        stats_rec = jax.tree_util.tree_map(
+            lambda x: x[thin - 1::thin, :c], stats)
+        if mom is not None:
+            idx = moment_offset + i * Kr + jnp.arange(Kr)
+            hi = (idx >= total // 2)
+            w_lo = (~hi).astype(dtype)[:, None, None]
+            w_hi = hi.astype(dtype)[:, None, None]
+            cd = rec_full.astype(dtype) - mom.qref[None]
+            mom = mom._replace(
+                cnt=mom.cnt + jnp.stack([jnp.sum(~hi), jnp.sum(hi)]
+                                        ).astype(dtype),
+                s1=mom.s1 + jnp.stack([jnp.sum(cd * w_lo, axis=0),
+                                       jnp.sum(cd * w_hi, axis=0)]),
+                s2=mom.s2 + jnp.stack([jnp.sum(cd * cd * w_lo, axis=0),
+                                       jnp.sum(cd * cd * w_hi, axis=0)]))
+        return (q_draws[-1], mom), (rec, stats_rec)
+
+    (qp, mom), (qs, stats) = lax.scan(
+        step, (q_pad0, moments0), (keys, jnp.arange(n_launch)))
+    qs = qs.reshape((n_draws,) + qs.shape[2:])
+    stats = jax.tree_util.tree_map(
+        lambda x: x.reshape((n_draws,) + x.shape[2:]), stats)
+    # final logp/grad are recomputed once per block (the padded loop consumes
+    # only q; `potential` is the same density the kernel physics evaluates)
+    z = evaluate(potential, qp[:c, :dim].astype(dtype))
+    return SamplingResult(z=z, draws=qs, stats=stats, moments=mom)
+
+
 def run_sampling(key, potential: Callable, algorithm: NUTS, state: WarmupState,
                  n_draws: int,
                  step_factory: Optional[Callable] = None,
@@ -496,12 +584,28 @@ def run_sampling(key, potential: Callable, algorithm: NUTS, state: WarmupState,
     locate this call's draws inside the whole run so draws land in the right
     half when sampling is split into blocks."""
     eps = jnp.exp(state.log_eps)
-    keys = jax.random.split(key, n_draws * thin).reshape(n_draws, thin, -1)
     fused_step = step_factory(state.metric) if step_factory is not None else None
     fused_trans = (transition_factory(state.metric, state.z.q.shape[0])
                    if transition_factory is not None else None)
     total = n_draws if moment_total is None else moment_total
     kd = None if keep_dims is None else jnp.asarray(keep_dims, jnp.int32)
+
+    # the padded/sweep fast path: the whole-tree kernel's persistent-state
+    # loop (padded_io) runs K = n_sweep transitions per launch, so the
+    # out-of-kernel scan body + pad/unpad amortize over the sweep (measured
+    # 1.83 ms/transition of scan-body cost at the flagship point,
+    # benchmarks/transition_attr.json).  Engaged when the transition factory
+    # carries a sweep runner and the loop structure divides evenly; hooks and
+    # scheduling force the per-transition path (they act between transitions).
+    sweep = getattr(fused_trans, "_sweep", None)
+    if (sweep is not None and post_step is None and schedule is None
+            and sweep.n_sweep % thin == 0
+            and (n_draws * thin) % sweep.n_sweep == 0):
+        return _run_sampling_swept(key, potential, state, n_draws, sweep,
+                                   thin=thin, kd=kd, moments0=moments0,
+                                   moment_offset=moment_offset, total=total)
+
+    keys = jax.random.split(key, n_draws * thin).reshape(n_draws, thin, -1)
 
     def one(z, ema, k):
         z2, stats, ema2 = _scheduled_transition(

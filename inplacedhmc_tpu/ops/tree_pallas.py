@@ -842,6 +842,9 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
     if n_sweep > 1 and not (refresh_inside or interpret):
         raise ValueError("n_sweep > 1 needs refresh_inside (TPU) or "
                          "interpret mode (explicit per-sweep stacks)")
+    if padded_io and not (refresh_inside or interpret):
+        raise ValueError("padded_io requires refresh_inside (TPU) or "
+                         "interpret mode (host-drawn stacks)")
     cache_key = (tile_logp, tile_value_grad, tuple(names),
                  tuple(a.shape for a in padded),
                  dim, max_depth, float(min_delta), block_c, interpret,
@@ -872,21 +875,47 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
 
     run = _cache_get(_RUN_CACHE, cache_key, _build_run)
 
-    if refresh_inside:
-        # momentum-scale array riding in the p0 input slot
+    if refresh_inside or (padded_io and interpret):
+        # momentum-scale array riding in the p0 input slot (in-kernel
+        # Box-Muller on TPU; host-side draws in the interpret fallback)
         scale_arr = (jnp.zeros((dpad, dpad), jnp.float32)
                      .at[:dim, :dim].set(mass_chol.T) if dense else
                      jnp.zeros((1, dpad), jnp.float32)
                      .at[0, :dim].set(sqrt_mass))
 
+    n_unif_1 = (1 << max_depth) - 1 + max_depth
+
     def _run_padded(key, q0, epsc, validc):
         cpad = q0.shape[0]
-        k_seed, _ = jax.random.split(key)
-        seed = jax.random.bits(k_seed, (2,), jnp.uint32).astype(jnp.int32)
-        dirsc = jnp.zeros((cpad, 1), jnp.int32)   # drawn in-kernel
-        unif = jnp.zeros((1, 1), jnp.float32)
+        if refresh_inside:
+            k_seed, _ = jax.random.split(key)
+            seed = jax.random.bits(k_seed, (2,), jnp.uint32).astype(jnp.int32)
+            dirsc = jnp.zeros((cpad, 1), jnp.int32)   # drawn in-kernel
+            unif = jnp.zeros((1, 1), jnp.float32)
+            p_arg = scale_arr
+        else:
+            # interpret-mode fallback (CPU tests of the padded/sweep driver
+            # loop): momentum, direction bits and proposal uniforms are
+            # host-drawn per-transition stacks — same kernel semantics,
+            # different (threefry) stream than the TPU PRNG
+            k_p, k_dir, k_seed, k_u = jax.random.split(key, 4)
+            xi = jax.random.normal(k_p, (n_sweep, cpad, dpad), jnp.float32)
+            if dense:
+                # xi @ chol(M)^T, matching the in-kernel dense refresh
+                p_stack = jnp.einsum("scd,de->sce", xi, scale_arr)
+            else:
+                p_stack = scale_arr[0] * xi
+            dir_stack = jax.random.bits(
+                k_dir, (n_sweep, cpad, 1), jnp.uint32).astype(jnp.int32)
+            if n_sweep == 1:
+                p_arg, dirsc = p_stack[0], dir_stack[0]
+            else:
+                p_arg, dirsc = p_stack, dir_stack
+            seed = jax.random.bits(k_seed, (2,), jnp.uint32).astype(jnp.int32)
+            unif = jax.random.uniform(k_u, (n_sweep * n_unif_1, cpad),
+                                      jnp.float32)
         (q, logp, grad, energy, lsa, term, tl, tr, depth, steps) = run(
-            q0, scale_arr, epsc, dirsc, validc, seed, unif, minv,
+            q0, p_arg, epsc, dirsc, validc, seed, unif, minv,
             *padded, lane_mask)
         # n_sweep == 1: [cpad, X] outputs; n_sweep > 1: leading sweep axis
         # on everything except grad (final state only) — `...` handles both
@@ -998,9 +1027,11 @@ def make_tree_transition(tile_logp, data, dim: int, metric_inv, *,
         return z_new, stats
 
     if padded_io:
-        if not refresh_inside:
-            raise ValueError("padded_io requires refresh_inside (the padded "
-                             "loop draws all randomness in-kernel)")
+        # metadata the sampling driver needs to build the padded state
+        # (adapt.warmup.SweepRunner)
+        _run_padded.block_c = block_c
+        _run_padded.n_sweep = n_sweep
+        _run_padded.dim = dim
         return transition, _run_padded
     return transition
 
@@ -1054,6 +1085,8 @@ def make_dense_gaussian_tree_transition(precision, metric_inv, *,
                                         interpret: bool = False,
                                         ckpt_bf16: bool = False,
                                         refresh_inside: bool = False,
+                                        padded_io: bool = False,
+                                        n_sweep: int = 1,
                                         _ablate: frozenset = frozenset()):
     """Whole-transition kernel for dense-precision Gaussian targets
     (``models/gaussian.py::mvn``): ``grad = -P q`` is one ``[BC, dpad] @
@@ -1071,6 +1104,7 @@ def make_dense_gaussian_tree_transition(precision, metric_inv, *,
                                 interpret=interpret, ckpt_bf16=ckpt_bf16,
                                 tile_value_grad=_dense_gaussian_tile_vg,
                                 refresh_inside=refresh_inside,
+                                padded_io=padded_io, n_sweep=n_sweep,
                                 _ablate=_ablate)
 
 
@@ -1083,6 +1117,8 @@ def make_logistic_tree_transition(x, y, inv_var, metric_inv, *,
                                   block_c: int = 128, interpret: bool = False,
                                   ckpt_bf16: bool = False,
                                   refresh_inside: bool = False,
+                                  padded_io: bool = False,
+                                  n_sweep: int = 1,
                                   physics_mode: str = "chunked",
                                   grad_bf16: bool = False,
                                   block_n: int = 2048):
@@ -1209,4 +1245,5 @@ def make_logistic_tree_transition(x, y, inv_var, metric_inv, *,
                                 max_depth=max_depth, min_delta=min_delta,
                                 block_c=block_c, interpret=interpret,
                                 ckpt_bf16=ckpt_bf16, tile_value_grad=tile_vg,
-                                refresh_inside=refresh_inside)
+                                refresh_inside=refresh_inside,
+                                padded_io=padded_io, n_sweep=n_sweep)

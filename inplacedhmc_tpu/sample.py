@@ -115,11 +115,22 @@ def _check_eps_sane(log_eps, where: str, stats: Optional[TreeStats] = None):
         f"loosen the schedule.")
 
 
-def _shard_map_transition(trans, mesh, axis_name: str):
+def _shard_map_transition(trans, mesh, axis_name: str,
+                          schedule: Optional[str] = None):
     """Wrap a fused whole-transition function so each device runs it on its
     local chain shard: inputs/outputs are sharded over ``axis_name`` on their
     leading (chains) dim, the PRNG key is replicated and folded with the
-    device index so shards draw independent randomness."""
+    device index so shards draw independent randomness.
+
+    ``schedule="work_sorted"``: each device argsorts its LOCAL chain rows by
+    the per-chain leapfrog-work EMA before the transition and inverts after —
+    per-shard scheduling needs no cross-device collective (a global argsort
+    would be a sort collective per transition), and packing similar-depth
+    chains into the same kernel tiles is a within-device property anyway
+    (tiles never span shards).  The wrapper then carries the sharded EMA:
+    signature ``(key, z, eps, ema) -> (z2, stats, ema2)``, flagged with
+    ``schedules_internally`` so :func:`adapt.warmup._scheduled_transition`
+    delegates instead of sorting globally."""
     from jax.sharding import PartitionSpec as P
 
     shard_map = jax.shard_map
@@ -128,25 +139,56 @@ def _shard_map_transition(trans, mesh, axis_name: str):
         return jax.tree_util.tree_map(
             lambda x: P(axis_name, *([None] * (jnp.ndim(x) - 1))), tree)
 
-    def sharded(key, z, eps, *, directions=None, momentum=None):
-        assert directions is None and momentum is None, (
-            "explicit directions/momentum are test-only hooks; the sharded "
-            "path draws them per-device")
+    stats_spec = TreeStats(*(P(axis_name) for _ in TreeStats._fields))
+
+    if schedule is None:
+        def sharded(key, z, eps, *, directions=None, momentum=None):
+            assert directions is None and momentum is None, (
+                "explicit directions/momentum are test-only hooks; the "
+                "sharded path draws them per-device")
+            eps = jnp.asarray(eps, z.q.dtype)
+
+            def local(k, z_loc, eps_loc):
+                k = jax.random.fold_in(k, jax.lax.axis_index(axis_name))
+                return trans(k, z_loc, eps_loc)
+
+            # check_vma=False: pallas_call out_shapes carry no varying-mesh-
+            # axes annotation, which the jax>=0.8 vma checker rejects inside
+            # shard_map
+            return shard_map(local, mesh=mesh,
+                             in_specs=(P(), spec_of(z), P()),
+                             out_specs=(spec_of(z), stats_spec),
+                             check_vma=False)(key, z, eps)
+
+        return sharded
+
+    from .adapt.warmup import _SCHED_DECAY
+
+    def sharded_sched(key, z, eps, ema):
         eps = jnp.asarray(eps, z.q.dtype)
+        assert eps.ndim == 0, "per-chain eps not supported under shard_mesh"
 
-        def local(k, z_loc, eps_loc):
+        def local(k, z_loc, eps_loc, ema_loc):
             k = jax.random.fold_in(k, jax.lax.axis_index(axis_name))
-            return trans(k, z_loc, eps_loc)
+            perm = jnp.argsort(ema_loc)          # ascending predicted work
+            inv = jnp.argsort(perm)
+            take = lambda x: jnp.take(x, perm, axis=0)
+            z2p, stats_p = trans(k, jax.tree_util.tree_map(take, z_loc),
+                                 eps_loc)
+            untake = lambda x: jnp.take(x, inv, axis=0)
+            z2 = jax.tree_util.tree_map(untake, z2p)
+            stats = jax.tree_util.tree_map(untake, stats_p)
+            ema2 = _SCHED_DECAY * ema_loc \
+                + (1.0 - _SCHED_DECAY) * stats.steps.astype(jnp.float32)
+            return z2, stats, ema2
 
-        stats_spec = TreeStats(*(P(axis_name) for _ in TreeStats._fields))
-        # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
-        # annotation, which the jax>=0.8 vma checker rejects inside shard_map
         return shard_map(local, mesh=mesh,
-                         in_specs=(P(), spec_of(z), P()),
-                         out_specs=(spec_of(z), stats_spec),
-                         check_vma=False)(key, z, eps)
+                         in_specs=(P(), spec_of(z), P(), P(axis_name)),
+                         out_specs=(spec_of(z), stats_spec, P(axis_name)),
+                         check_vma=False)(key, z, eps, ema)
 
-    return sharded
+    sharded_sched.schedules_internally = True
+    return sharded_sched
 
 
 class NUTSKernel:
@@ -191,12 +233,6 @@ class NUTSKernel:
         if schedule not in (None, "work_sorted"):
             raise ValueError(f"unknown schedule {schedule!r} "
                              "(None or 'work_sorted')")
-        if schedule is not None and shard_mesh is not None:
-            # a global argsort across the chain mesh axis would turn every
-            # transition into a cross-device sort collective; per-shard
-            # scheduling belongs inside the shard_map wrapper (not built)
-            raise ValueError("schedule='work_sorted' is single-device-"
-                             "shard only; drop shard_mesh or the schedule")
         self.schedule = schedule
         self._jit_cache: dict = {}
 
@@ -242,7 +278,8 @@ class NUTSKernel:
             # grad_bf16/block_n reach the logistic builder only — validate up
             # front so a typo'd or inapplicable knob fails here, not after
             # warmup has already started
-            _common = {"block_c", "ckpt_bf16", "refresh_inside"}
+            _common = {"block_c", "ckpt_bf16", "refresh_inside",
+                       "padded_io", "n_sweep"}
             _by_kind = {"logistic": _common | {"physics_mode", "grad_bf16",
                                                "block_n"}}
             allowed = _by_kind.get(st.get("kind"), _common)
@@ -252,6 +289,22 @@ class NUTSKernel:
                 raise ValueError(
                     f"tree_opts {sorted(unknown)} not supported for model "
                     f"kind {st.get('kind')!r} (allowed: {sorted(allowed)})")
+            # padded/sweep options drive the sampling loop only (tuning
+            # adapts eps per transition, which an in-kernel sweep cannot);
+            # the factory builds a separate n_sweep=1 kernel for tuning and
+            # attaches the sweep runner for run_sampling
+            sweep_k = int(topts.pop("n_sweep", 1))
+            padded_req = bool(topts.pop("padded_io", sweep_k > 1))
+            if sweep_k > 1 and not padded_req:
+                raise ValueError("n_sweep > 1 requires padded_io")
+            if padded_req and shard_mesh is not None:
+                raise ValueError("padded_io/n_sweep do not compose with "
+                                 "shard_mesh yet (the padded persistent "
+                                 "state is single-shard)")
+            if padded_req and not topts.get("refresh_inside", False) \
+                    and not tree_interp:
+                # on TPU the padded loop draws all randomness in-kernel
+                topts["refresh_inside"] = True
 
             def tree_factory(metric, n_chains=None):
                 diag_ok = (isinstance(metric, DiagMetric)
@@ -264,28 +317,44 @@ class NUTSKernel:
                     return None
                 if n_chains is not None and n_chains < min_chains:
                     return None
-                if kind == "diag_gaussian":
-                    trans = make_gaussian_tree_transition(
-                        st["precision"], metric, max_depth=algo.max_depth,
-                        min_delta=algo.min_delta, interpret=tree_interp,
-                        **topts)
-                elif kind == "dense_gaussian":
-                    trans = make_dense_gaussian_tree_transition(
-                        st["precision"], metric, max_depth=algo.max_depth,
-                        min_delta=algo.min_delta, interpret=tree_interp,
-                        **topts)
-                elif kind == "logistic":
-                    trans = make_logistic_tree_transition(
-                        st["x"], st["y"], st["inv_var"], metric,
-                        max_depth=algo.max_depth, min_delta=algo.min_delta,
-                        interpret=tree_interp, **topts)
-                else:
-                    trans = make_tree_transition(
+
+                def build(**extra):
+                    kw = dict(topts, **extra)
+                    if kind == "diag_gaussian":
+                        return make_gaussian_tree_transition(
+                            st["precision"], metric, max_depth=algo.max_depth,
+                            min_delta=algo.min_delta, interpret=tree_interp,
+                            **kw)
+                    if kind == "dense_gaussian":
+                        return make_dense_gaussian_tree_transition(
+                            st["precision"], metric, max_depth=algo.max_depth,
+                            min_delta=algo.min_delta, interpret=tree_interp,
+                            **kw)
+                    if kind == "logistic":
+                        return make_logistic_tree_transition(
+                            st["x"], st["y"], st["inv_var"], metric,
+                            max_depth=algo.max_depth, min_delta=algo.min_delta,
+                            interpret=tree_interp, **kw)
+                    return make_tree_transition(
                         st["tile_logp"], st["data"], dim, metric,
                         max_depth=algo.max_depth, min_delta=algo.min_delta,
-                        interpret=tree_interp, **topts)
+                        interpret=tree_interp, **kw)
+
+                if padded_req:
+                    ptrans, run_padded = build(padded_io=True,
+                                               n_sweep=sweep_k)
+                    # a sweep-shaped transition returns stacked draws; tuning
+                    # (per-transition eps adaptation) needs the plain kernel
+                    trans = ptrans if sweep_k == 1 else build()
+                    from .adapt.warmup import SweepRunner
+                    trans._sweep = SweepRunner(
+                        run_padded=run_padded, n_sweep=sweep_k,
+                        block_c=run_padded.block_c)
+                else:
+                    trans = build()
                 if mesh is not None:
-                    trans = _shard_map_transition(trans, mesh, axis)
+                    trans = _shard_map_transition(trans, mesh, axis,
+                                                  schedule=self.schedule)
                 return trans
 
             self.transition_factory = tree_factory

@@ -508,3 +508,86 @@ def test_sweep_kernel_bit_identical_to_sequential():
     np.testing.assert_array_equal(np.asarray(zf.q), seq_q[-1])
     np.testing.assert_array_equal(np.asarray(zf.logp), np.asarray(zs.logp))
     np.testing.assert_array_equal(np.asarray(zf.grad), np.asarray(zs.grad))
+
+
+def test_swept_run_sampling_matches_manual_padded_loop():
+    """The production sweep path (run_sampling via SweepRunner) is exactly
+    the hand loop over run_padded with the same key splits: pins the scan
+    bookkeeping — thin-selection of draws/stats, keep_dims, the streaming
+    split-moment half assignment, and the final-state recompute."""
+    import inplacedhmc_tpu.adapt.warmup as W
+    from inplacedhmc_tpu.config import NUTS
+    from inplacedhmc_tpu.models import std_normal
+    from inplacedhmc_tpu.sample import _kernel
+
+    model = std_normal(6)
+    K, thin, n_draws, c = 4, 2, 8, 24
+    kern = _kernel(model, NUTS(max_depth=5), True, None, use_pallas="tree",
+                   tree_opts={"block_c": 8, "n_sweep": K, "padded_io": True})
+    state = W.init_warmup_state(jax.random.PRNGKey(0), kern.potential, 6, c,
+                                jnp.float32, eps=0.45)
+    trans = kern.transition_factory(state.metric, c)
+    sweep = trans._sweep
+    assert sweep.n_sweep == K
+
+    key = jax.random.PRNGKey(42)
+    res = W.run_sampling(key, kern.potential, NUTS(max_depth=5), state,
+                         n_draws, transition_factory=kern.transition_factory,
+                         thin=thin, keep_dims=(0, 2),
+                         moments0=W.init_split_moments(state.z.q),
+                         moment_offset=0, moment_total=n_draws)
+    assert res.draws.shape == (n_draws, c, 2)
+
+    # manual loop: identical key splits, raw run_padded calls
+    from inplacedhmc_tpu.ops.common import chain_tiles, round_up
+    cpad, _ = chain_tiles(c, sweep.block_c)
+    dpad = round_up(6, 128)
+    epsc = jnp.zeros((cpad, 1), jnp.float32).at[:c, 0].set(0.45)
+    validc = jnp.zeros((cpad, 1), jnp.int32).at[:c, 0].set(1)
+    qp = jnp.zeros((cpad, dpad), jnp.float32).at[:c, :6].set(state.z.q)
+    n_launch = n_draws * thin // K
+    keys = jax.random.split(key, n_launch)
+    rec, steps_rec = [], []
+    mom_manual = []          # recorded full draws, for the moment check
+    for i in range(n_launch):
+        q_draws, logp, grad, st = sweep.run_padded(keys[i], qp, epsc, validc)
+        rec.append(np.asarray(q_draws[thin - 1::thin, :c, :6]))
+        steps_rec.append(np.asarray(st.steps[thin - 1::thin, :c]))
+        qp = q_draws[-1]
+    rec = np.concatenate(rec, 0)                      # [n_draws, c, 6]
+    np.testing.assert_array_equal(np.asarray(res.draws),
+                                  rec[:, :, [0, 2]])
+    np.testing.assert_array_equal(np.asarray(res.stats.steps),
+                                  np.concatenate(steps_rec, 0))
+    np.testing.assert_allclose(np.asarray(res.z.q), rec[-1], rtol=0, atol=0)
+
+    # split moments: manual two-pass over the recorded full draws
+    half = n_draws // 2
+    qref = np.asarray(state.z.q)
+    for h, sl in ((0, slice(0, half)), (1, slice(half, None))):
+        cdev = rec[sl] - qref[None]
+        np.testing.assert_allclose(np.asarray(res.moments.s1[h]),
+                                   cdev.sum(0), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(res.moments.s2[h]),
+                                   (cdev * cdev).sum(0), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(res.moments.cnt), [half, half])
+
+
+def test_swept_padded_io_statistical_correctness():
+    """padded_io + n_sweep through the full driver (mcmc_with_warmup):
+    posterior moments of a 6-D std normal are exact; stats shapes match the
+    per-transition path."""
+    from inplacedhmc_tpu.models import std_normal
+    from inplacedhmc_tpu.sample import mcmc_with_warmup
+
+    model = std_normal(6)
+    res = mcmc_with_warmup(jax.random.PRNGKey(8), model, 512, 64,
+                           use_pallas="tree", eps=0.5, warmup_stages=[],
+                           tree_opts={"block_c": 32, "n_sweep": 8,
+                                      "padded_io": True})
+    d = np.asarray(res.draws)
+    assert d.shape == (512, 64, 6)
+    assert abs(d.mean()) < 0.05
+    assert abs(d.var() - 1.0) < 0.1
+    assert np.asarray(res.stats.steps).shape == (512, 64)
+    assert float(np.mean(np.asarray(res.stats.acceptance_rate))) > 0.5
