@@ -150,7 +150,8 @@ def run_sharded(key, model, n_draws: int, n_chains: int, *, mesh: Mesh,
                 collect_sketch=None, store_draws: bool = True,
                 sync_blocks: bool = False,
                 checkpoint_throttle_s: float = 0.0,
-                fused_opts=None, tree_opts=None, post_step=None):
+                fused_opts=None, tree_opts=None, post_step=None,
+                schedule=None):
     """Full warmup + sampling with chains sharded over ``mesh`` — same driver
     surface as the single-device path (``thin``, ``draw_block``,
     checkpointing; the reference's multi-chain driver has the full surface of
@@ -192,10 +193,14 @@ def run_sharded(key, model, n_draws: int, n_chains: int, *, mesh: Mesh,
         warmup_stages = default_warmup_stages(
             stepsize_adaptation=DualAveraging(delta=delta))
 
+    # schedule="work_sorted" under a mesh: the Pallas transitions sort
+    # per-shard inside shard_map (no cross-device collective); if the model
+    # falls back to the XLA tree the argsort runs under GSPMD — still
+    # correct, but it inserts a cross-device sort per transition
     kern = _kernel(model, algorithm, True, None, use_pallas=use_pallas,
                    shard_mesh=mesh, shard_axis=axis_name,
                    fused_opts=fused_opts, tree_opts=tree_opts,
-                   post_step=post_step)
+                   post_step=post_step, schedule=schedule)
     with mesh:
         return kern.run(key, n_draws, n_chains, warmup_stages=warmup_stages,
                         dtype=dtype, reporter=reporter, thin=thin,

@@ -240,3 +240,69 @@ def test_data_chain_mesh_logistic():
     np.testing.assert_allclose(np.asarray(res_mesh.draws),
                                np.asarray(res_single.draws), atol=1e-8)
     assert len({s.device for s in res_mesh.draws.addressable_shards}) >= 4
+
+
+def test_sharded_work_sorted_schedule():
+    """schedule='work_sorted' under a mesh: each device argsorts its LOCAL
+    chain rows inside the shard_map wrapper (sample._shard_map_transition)
+    — no cross-device sort collective — and draws come back in original
+    chain coordinates; the posterior matches the unscheduled sharded run."""
+    from inplacedhmc_tpu.models import funnel
+
+    mesh = make_chain_mesh()
+    model = funnel(4)
+    stages = default_warmup_stages(
+        local_optimization=None, init_steps=20, middle_steps=20,
+        doubling_stages=1, terminating_steps=20)
+    kw = dict(n_draws=300, n_chains=32, mesh=mesh, warmup_stages=stages,
+              use_pallas="tree", tree_opts={"block_c": 8})
+    res = sample(jax.random.PRNGKey(5), model, schedule="work_sorted", **kw)
+    base = sample(jax.random.PRNGKey(5), model, **kw)
+    d_s = np.asarray(res.draws)
+    d_b = np.asarray(base.draws)
+    # funnel scale coordinate: mean 0, sd 3
+    assert abs(d_s[:, :, 0].mean()) < 1.0
+    assert abs(d_s[:, :, 0].mean() - d_b[:, :, 0].mean()) < 1.2
+    assert np.isfinite(d_s).all()
+    assert len({s.device for s in res.draws.addressable_shards}) == 8
+
+
+def test_per_shard_sorting_matches_single_device_sorted_utilization():
+    """Telemetry for the collective-free per-shard schedule (VERDICT r3
+    next #4): sorting chains by work WITHIN each device shard achieves the
+    same tiled lockstep utilization as a standalone single device running
+    the same number of chains sorted — each shard IS a sorted small-device
+    instance, and chains are iid across shards.  (A GLOBAL cross-device sort
+    would score higher on aggregate utilization by concentrating the tail
+    depths into one tile on one device — but that device then straggles the
+    lockstep mesh, so per-shard sorting is also the load-balanced choice,
+    not just the collective-free one.)"""
+    from inplacedhmc_tpu.core.state import TreeStats
+
+    rng = np.random.default_rng(0)
+    n_trans, c, n_shards, block_c = 16, 1024, 8, 32
+    c_local = c // n_shards
+    # funnel-like position-persistent work: per-chain depth constant over
+    # transitions, heavy-tailed across chains
+    depth_c = rng.choice(np.arange(1, 9), size=c,
+                         p=np.asarray([.30, .25, .18, .12, .07, .04,
+                                       .025, .015]))
+
+    def util(depth_by_chain):
+        d = np.broadcast_to(depth_by_chain, (n_trans, len(depth_by_chain)))
+        s = (1 << d) - 1
+        z = np.zeros_like(s)
+        st = TreeStats(energy=z, acceptance_rate=z, termination=z,
+                       term_left=z, term_right=z, depth=d, steps=s)
+        return diag.tiled_lockstep_utilization(st, block_c, max_depth=10)
+
+    u_rand = util(depth_c)
+    per_shard = np.concatenate(
+        [np.sort(sh_depths) for sh_depths in depth_c.reshape(n_shards, -1)])
+    u_shard = util(per_shard)
+    # the single-device sorted figure at the same local chain count,
+    # averaged over the shards' iid draws
+    u_single = np.mean([util(np.sort(sh)) for sh in
+                        depth_c.reshape(n_shards, -1)])
+    assert u_shard > 1.3 * u_rand           # sorting is a real lever here
+    np.testing.assert_allclose(u_shard, u_single, rtol=0.15)
