@@ -164,35 +164,54 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sweep-only", action="store_true",
                     help="measure only the n_sweep arms")
+    ap.add_argument("--bcs", default="512,1024,2048",
+                    help="block_c grid for the classic/padded arms")
+    ap.add_argument("--sweep-grid", default="512:4,512:16,1024:16,2048:16",
+                    help="bc:K grid for the sweep arms.  bc=2048 with "
+                         "refresh_inside dies in Mosaic scoped-VMEM "
+                         "allocation (measured: the Box-Muller temporaries "
+                         "on top of the bc=2048 scratch budget) — drop it "
+                         "when measuring on v5e")
+    ap.add_argument("--keep", action="store_true",
+                    help="append to an existing flagship_opt_ab.json "
+                         "instead of starting fresh")
     args = ap.parse_args()
-
-    rows = []
-    if not args.sweep_only:
-        for bc in [512, 1024, 2048]:
-            for arm, fn in [("classic", arm_classic),
-                            ("padded_rng", arm_padded)]:
-                r = {"arm": arm, "block_c": bc, **fn(bc, args.reps)}
-                rows.append(r)
-                print(json.dumps(r), flush=True)
-        # scan-mechanics probe: fully unrolled loop — if per-iteration
-        # while-loop overhead is the invariant ~1.5 ms, straight-line code
-        # removes it
-        for bc, u in [(512, 16), (2048, 16)]:
-            r = {"arm": f"padded_rng_unroll{u}", "block_c": bc,
-                 **arm_padded(bc, args.reps, unroll=u)}
-            rows.append(r)
-            print(json.dumps(r), flush=True)
-    # the in-kernel sweep: K transitions per launch
-    for bc, k in [(512, 4), (512, 16), (1024, 16), (2048, 16)]:
-        r = {"arm": f"sweep{k}", "block_c": bc,
-             **arm_sweep(bc, args.reps, k)}
-        rows.append(r)
-        print(json.dumps(r), flush=True)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "flagship_opt_ab.json")
-    with open(out, "w") as f:
-        json.dump(rows, f, indent=1)
+    rows = []
+    if args.keep and os.path.exists(out):
+        with open(out) as f:
+            rows = json.load(f)
+
+    def record(label, bc, fn, *a, **kw):
+        # one arm OOM-ing VMEM (e.g. sweep16 at bc=2048: the [K, BC, dpad]
+        # per-tile output window alone is 16 MB) must not lose the others
+        try:
+            r = {"arm": label, "block_c": bc, **fn(bc, *a, **kw)}
+        except Exception as e:
+            r = {"arm": label, "block_c": bc, "error": repr(e)[:300]}
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+        with open(out, "w") as f:
+            json.dump(rows, f, indent=1)
+
+    if not args.sweep_only:
+        for bc in [int(b) for b in args.bcs.split(",") if b]:
+            record("classic", bc, arm_classic, args.reps)
+            record("padded_rng", bc, arm_padded, args.reps)
+        # scan-mechanics probe: fully unrolled loop — if per-iteration
+        # while-loop overhead is the invariant ~1.5 ms, straight-line code
+        # removes it
+        for bc, u in [(512, 16)]:
+            record(f"padded_rng_unroll{u}", bc, arm_padded, args.reps,
+                   unroll=u)
+    # the in-kernel sweep: K transitions per launch
+    for tok in args.sweep_grid.split(","):
+        if not tok:
+            continue
+        bc, k = (int(v) for v in tok.split(":"))
+        record(f"sweep{k}", bc, arm_sweep, args.reps, k)
     print(f"wrote {out}")
 
 
