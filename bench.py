@@ -4,6 +4,21 @@ Primary metric (BASELINE.json): leapfrog steps/sec at 10k chains (100-D std
 normal, the raw transition-throughput number), plus ESS/sec/chip on Bayesian
 logistic regression (10k obs x 50 features) as an extra field.
 
+The flagship number runs through the PRODUCTION sampling path
+(``NUTSKernel._sampling_fn`` -> ``adapt.warmup.run_sampling``) with the
+measured-best kernel configuration (``benchmarks/flagship_opt_ab.json``):
+the whole-tree Pallas kernel with in-kernel RNG (``refresh_inside``),
+persistent padded state (``padded_io``) and ``n_sweep`` transitions per
+kernel launch — so the headline measures what ``sample()`` users get, not a
+bench-only loop.
+
+Also reported: ``leaf_work_over_wall`` — the whole-transition efficiency
+ratio (VERDICT r3 next #7).  The per-leaf cost is measured in the SAME
+compiled executable by a second pass at eps=0.005 (max-depth trees, 1023
+leaves/transition, amortizing every per-transition intercept to <2%), and
+the ratio says what fraction of the headline wall is leaf physics vs
+transition overhead.
+
 Runs on whatever backend JAX selects (the real TPU chip under the driver).
 """
 
@@ -15,64 +30,98 @@ import time
 import jax
 import jax.numpy as jnp
 
+try:  # persistent compile cache: the bc=2048 Mosaic build takes ~15 min
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+except Exception:
+    pass
 
-def bench_leapfrog_steps_per_sec(n_chains=10_240, dim=100, n_transitions=16,
-                                 dtype=jnp.float32):
-    import inplacedhmc_tpu as ih
+#: measured-best flagship kernel configuration (benchmarks/flagship_opt_ab.json:
+#: padded persistent state + in-kernel RNG at bc=2048, 5.83 ms/transition =
+#: 26.3M steps/s; every n_sweep>1 x bc>=1024 combination reproducibly
+#: crashes this environment's remote Mosaic compile helper — error rows in
+#: the same JSON — so the sweep ships available-but-off here)
+TREE_OPTS = {"block_c": 2048, "padded_io": True, "refresh_inside": True}
+
+
+def _fence(x):
+    """Value fetch: the only reliable dispatch fence on the TPU tunnel."""
+    return float(jnp.sum(x))
+
+
+def bench_leapfrog_steps_per_sec(n_chains=10_240, dim=100, n_transitions=64,
+                                 dtype=jnp.float32, tree_opts=TREE_OPTS):
+    import inplacedhmc_tpu.adapt.warmup as W
+    from inplacedhmc_tpu.config import NUTS
     from inplacedhmc_tpu.models import std_normal
+    from inplacedhmc_tpu.sample import _kernel
 
     model = std_normal(dim)
-    pot = ih.batched_logdensity_and_grad(model.logp)
-    metric = ih.identity_metric(dim, dtype)
-    eps = jnp.asarray(0.25, dtype)
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
 
-    # whole-transition Pallas tree kernel on TPU backends (ops/tree_pallas.py);
-    # falls back to the XLA tree if the Mosaic compile fails in this env
-    transition = None
-    if jax.default_backend() not in ("cpu", "gpu"):
-        from inplacedhmc_tpu.ops.tree_pallas import make_gaussian_tree_transition
-        transition = make_gaussian_tree_transition(
-            model.structure["precision"], metric.inv, max_depth=10)
+    def build(topts, policy):
+        kern = _kernel(model, NUTS(), True, None, use_pallas=policy,
+                       tree_opts=topts)
+        # production sampling executable; keep_dims=(0,) records one
+        # coordinate (the metric is steps/s, not draw storage)
+        return kern, kern._sampling_fn(n_transitions, 1, (0,))
 
-    def make_block(trans):
-        @jax.jit
-        def block(key, q):
-            z = ih.evaluate(pot, q)
+    q0 = jax.random.normal(jax.random.PRNGKey(0), (n_chains, dim), dtype)
 
-            def step(carry, k):
-                z, total = carry
-                if trans is not None:
-                    z2, stats = trans(k, z, eps)
-                else:
-                    z2, stats = ih.nuts_transition(k, pot, metric, z, eps,
-                                                   max_depth=10)
-                return (z2, total + jnp.sum(stats.steps.astype(jnp.int64))), None
+    def run_once(fn, key, st):
+        out = fn(key, st)
+        steps = int(jnp.sum(out.stats.steps.astype(jnp.int64)))
+        _fence(out.draws)
+        return out, steps
 
-            keys = jax.random.split(key, n_transitions)
-            (z, total), _ = jax.lax.scan(step, (z, jnp.asarray(0, jnp.int64)), keys)
-            return z.q, total
-        return block
+    # whole-tree kernel w/ sweep on TPU; Mosaic failure falls back to the
+    # XLA tree so the bench always produces the metric
+    attempts = ([(tree_opts, "tree"), (None, "tree"), (None, "off")]
+                if on_tpu else [(None, "off")])
+    kern = fn = None
+    used = None
+    for topts, policy in attempts:
+        try:
+            kern, fn = build(topts, policy)
+            state = W.init_warmup_state(jax.random.PRNGKey(0), kern.potential,
+                                        dim, n_chains, dtype, q=q0, eps=0.25)
+            out, _ = run_once(fn, jax.random.PRNGKey(1), state)  # compile
+            used = f"{policy}:{topts}"
+            break
+        except Exception:
+            if (topts, policy) == attempts[-1]:
+                raise
+            kern = fn = None
+    state1 = state._replace(z=out.z)
 
-    key = jax.random.PRNGKey(0)
-    q0 = jax.random.normal(key, (n_chains, dim), dtype)
-    # warm-up compile (with Mosaic->XLA fallback)
-    block = make_block(transition)
+    # best-of-3 steady-state timing (same methodology as the A/B harness;
+    # single-shot timings on the shared tunnel vary ~5% run to run)
+    dt, steps = float("inf"), 0
+    for r in range(3):
+        t0 = time.perf_counter()
+        out2, steps_r = run_once(fn, jax.random.PRNGKey(2 + r), state1)
+        dt_r = time.perf_counter() - t0
+        if dt_r < dt:
+            dt, steps = dt_r, steps_r
+        state1 = state1._replace(z=out2.z)
+
+    # leaf-cost probe: same executable, eps=0.005 -> every tree runs to
+    # max_depth (1023 leaves/transition), so wall/steps is the per-leaf cost
+    # with the per-transition intercept amortized to <2%
+    leaf_s_per_step = None
     try:
-        q1, total = block(jax.random.PRNGKey(1), q0)
-        int(total)
+        deep = state1._replace(log_eps=jnp.log(jnp.asarray(0.005, dtype)))
+        run_once(fn, jax.random.PRNGKey(3), deep)  # warm (donation/layout)
+        t1 = time.perf_counter()
+        _, steps_deep = run_once(fn, jax.random.PRNGKey(4), deep)
+        dt_deep = time.perf_counter() - t1
+        leaf_s_per_step = dt_deep / max(steps_deep, 1)
     except Exception:
-        if transition is None:
-            raise
-        block = make_block(None)
-        q1, total = block(jax.random.PRNGKey(1), q0)
-        int(total)
-    float(jnp.sum(q1))  # pre-compile the eager sync op outside the timed region
-    t0 = time.perf_counter()
-    q2, total = block(jax.random.PRNGKey(2), q1)
-    total = int(total)
-    float(jnp.sum(q2))  # value fetch: reliable fence on the TPU tunnel
-    dt = time.perf_counter() - t0
-    return total / dt, total, dt
+        pass
+
+    eff = (steps * leaf_s_per_step / dt) if leaf_s_per_step else None
+    return steps / dt, steps, dt, eff, used
 
 
 def bench_logistic_ess_per_sec(n_chains=8192, n_obs=10_000, n_feat=50,
@@ -103,12 +152,12 @@ def bench_logistic_ess_per_sec(n_chains=8192, n_obs=10_000, n_feat=50,
     state, _ = kern.warmup(k_warm, state, stages)
     fn = kern._sampling_fn(n_draws)
     out = fn(k_sample, state)
-    float(jnp.sum(out.draws))  # value fetch: the only reliable fence on the TPU tunnel
+    _fence(out.draws)
     warm_plus_sample_s = time.perf_counter() - t0
     # timed sampling-only pass (steady state)
     t1 = time.perf_counter()
     out2 = fn(jax.random.PRNGKey(9), state._replace(z=out.z))
-    float(jnp.sum(out2.draws))
+    _fence(out2.draws)
     sample_s = time.perf_counter() - t1
     # uncapped ESS (cap=False): the capped estimator saturates at
     # n_draws*n_chains on this near-iid posterior, measuring draws/s instead
@@ -133,10 +182,13 @@ def _load_local_baseline():
 
 def main():
     quick = "--quick" in sys.argv
-    lf_rate, lf_steps, lf_dt = bench_leapfrog_steps_per_sec(
+    lf_rate, lf_steps, lf_dt, lf_eff, lf_cfg = bench_leapfrog_steps_per_sec(
         n_chains=1024 if quick else 10_240,
-        n_transitions=4 if quick else 16)
-    extras = {"leapfrog_steps": lf_steps, "leapfrog_wall_s": round(lf_dt, 3)}
+        n_transitions=4 if quick else 64)
+    extras = {"leapfrog_steps": lf_steps, "leapfrog_wall_s": round(lf_dt, 3),
+              "leapfrog_config": lf_cfg}
+    if lf_eff is not None:
+        extras["leaf_work_over_wall"] = round(lf_eff, 3)
     try:
         # 8192 chains / 256 draws: the measured-best ESS/s operating point
         # (benchmarks/logistic_ab_c8192.json: 2.15M vs 1.93M at 2048)
