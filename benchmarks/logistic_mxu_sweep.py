@@ -36,17 +36,33 @@ import jax.numpy as jnp
 C, N, D = 8192, 10_000, 50
 
 
+#: evaluations chained per device call.  One eval/call is useless on the
+#: tunnel: the measured per-call dispatch+fence overhead (~25-55 ms,
+#: docs/DESIGN.md §10) exceeds the ~3 ms kernel and floors every arm to the
+#: same number.  Chaining through a scan (q <- q + 1e-6 grad keeps the
+#: physics live and bounded) amortizes the call tax to <2%.
+CHAIN_K = 50
+
+
 def _time(fn, q, reps=5):
-    out = fn(q)
+    @jax.jit
+    def chained(q0):
+        def body(qq, _):
+            lp, g = fn(qq)
+            return qq + jnp.float32(1e-6) * g, lp
+        qf, lps = jax.lax.scan(body, q0, None, length=CHAIN_K)
+        return lps[-1], qf
+
+    out = chained(q)
     jax.block_until_ready(out)
     float(jnp.sum(out[0]))  # tunnel fence
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(q)
+        out = chained(q)
         float(jnp.sum(out[0]) + jnp.sum(out[1]))
         best = min(best, time.perf_counter() - t0)
-    return best
+    return best / CHAIN_K
 
 
 def main():
@@ -66,6 +82,8 @@ def main():
     inv_var = 0.01
 
     rows = []
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "logistic_mxu_sweep.json")
 
     def record(label, wall, **kw):
         row = {"label": label, "wall_ms": round(wall * 1e3, 3),
@@ -73,6 +91,8 @@ def main():
                "padded_tflops": round(padded_flops / wall / 1e12, 3), **kw}
         rows.append(row)
         print(json.dumps(row), flush=True)
+        with open(out_path, "w") as f:
+            json.dump(rows, f, indent=1)
         return row
 
     # XLA unfused baseline: plain jnp density through jax.vjp
@@ -105,9 +125,17 @@ def main():
     grid_n = [512, 1024, 2048] if not args.quick else [512]
     best = None
     for bc, bn, bf16 in itertools.product(grid_c, grid_n, [False, True]):
-        pot = make_logistic_potential(x, y, inv_var, block_c=bc, block_n=bn,
-                                      grad_bf16=bf16)
-        wall = _time(pot, q, args.reps)
+        try:
+            pot = make_logistic_potential(x, y, inv_var, block_c=bc,
+                                          block_n=bn, grad_bf16=bf16)
+            wall = _time(pot, q, args.reps)
+        except Exception as e:
+            # e.g. bc=512 x bn=2048 exceeds the 16M scoped-VMEM stack limit
+            rows.append({"label": "fused", "block_c": bc, "block_n": bn,
+                         "grad_bf16": bf16, "error": repr(e)[:200]})
+            with open(out_path, "w") as f:
+                json.dump(rows, f, indent=1)
+            continue
         row = record("fused", wall, block_c=bc, block_n=bn, grad_bf16=bf16)
         if best is None or wall < best[0]:
             best = (wall, bc, bn, bf16)
@@ -120,11 +148,7 @@ def main():
     record("fused_trans_ablated", _time(pot_ab, q, args.reps),
            block_c=bc, block_n=bn, grad_bf16=bf16)
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "logistic_mxu_sweep.json")
-    with open(out, "w") as f:
-        json.dump(rows, f, indent=1)
-    print(f"wrote {out}")
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

@@ -137,7 +137,7 @@ def _logistic_value_and_grad_padded(q, x, yw, s2, block_c: int, block_n: int,
 
 
 def make_logistic_potential(x, y, inv_var: float,
-                            block_c: int = 256, block_n: int = 512,
+                            block_c: int = 512, block_n: int = 1024,
                             interpret: bool = False,
                             grad_bf16: bool = False,
                             _ablate_trans: bool = False):
