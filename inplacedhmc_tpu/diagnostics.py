@@ -89,6 +89,17 @@ def divergence_fraction(stats: TreeStats) -> float:
     return float(np.mean(np.asarray(stats.termination) == Termination.DIVERGENCE))
 
 
+def _steps_depth_2d(stats: TreeStats):
+    """Shared parsing for the utilization telemetry: [N, C] float steps and
+    int depth (a single transition gains a leading axis of 1)."""
+    steps = np.asarray(stats.steps, np.float64)
+    depth = np.asarray(stats.depth)
+    if steps.ndim == 1:
+        steps = steps[None]
+        depth = depth[None]
+    return steps, depth
+
+
 def lockstep_utilization(stats: TreeStats, max_depth: int = 10) -> float:
     """Fraction of executed lockstep leaf-iterations that did useful work.
 
@@ -98,13 +109,12 @@ def lockstep_utilization(stats: TreeStats, max_depth: int = 10) -> float:
     doubling any chain completed (+1 unless capped at ``max_depth``), while a
     chain only *uses* ``steps`` of them.  This estimates
     ``mean(steps) / executed`` from recorded statistics — the telemetry for
-    the straggler economics discussed in docs/DESIGN.md §3.
+    the straggler economics discussed in docs/DESIGN.md §3.  Aggregation is
+    the mean of per-transition ratios (each transition weighted equally);
+    :func:`tiled_lockstep_utilization` with ``block_c >= n_chains`` is the
+    work-weighted counterpart wall-clock follows.
     """
-    steps = np.asarray(stats.steps, np.float64)
-    depth = np.asarray(stats.depth)
-    if steps.ndim == 1:
-        steps = steps[None]
-        depth = depth[None]
+    steps, depth = _steps_depth_2d(stats)
     d_exit = np.minimum(depth.max(axis=-1) + 1, max_depth)  # [N]
     executed = (1 << d_exit.astype(np.int64)) - 1
     return float(np.mean(steps.mean(axis=-1) / np.maximum(executed, 1)))
@@ -132,11 +142,7 @@ def tiled_lockstep_utilization(stats: TreeStats, block_c: int,
     algorithm-determined (independent of execution path), the curve over
     ``block_c`` can be measured from ONE recorded run on any backend.
     """
-    steps = np.asarray(stats.steps, np.float64)
-    depth = np.asarray(stats.depth)
-    if steps.ndim == 1:
-        steps = steps[None]
-        depth = depth[None]
+    steps, depth = _steps_depth_2d(stats)
     n, c = depth.shape
     pad = (-c) % block_c
     if pad:
