@@ -44,6 +44,10 @@ def main():
                     help="interleave ASIS hyperparameter MH updates after "
                          "every transition (measured 40x mixing win for "
                          "phi/log_s: tau_phi ~1270 -> ~32 transitions)")
+    ap.add_argument("--asis-per-coord", action="store_true",
+                    help="per-coordinate ASIS MH (decouples the tight log_s "
+                         "ancillary conditional from phi; benchmarks/"
+                         "asis_ab.json: tau_phi 49->6.7, tau_logs 201->19.4)")
     args = ap.parse_args()
 
     from inplacedhmc_tpu import diagnostics as diag
@@ -72,9 +76,9 @@ def main():
 
     os.makedirs(args.out_dir, exist_ok=True)
     post = None
-    if args.asis:
+    if args.asis or args.asis_per_coord:
         from inplacedhmc_tpu.models.stoch_vol import make_asis_hook
-        post = make_asis_hook(returns)
+        post = make_asis_hook(returns, per_coord=args.asis_per_coord)
     kern = _kernel(model, NUTS(), True, None, post_step=post)
     t0 = time.perf_counter()
     res = kern.run(jax.random.PRNGKey(args.seed), args.draws, args.chains,
@@ -100,7 +104,7 @@ def main():
         "t": args.t, "chains": args.chains, "draws": args.draws,
         "thin": args.thin, "metric": "dense", "delta": 0.9,
         "stream": True, "continuation_of": args.from_dir,
-        "asis": bool(args.asis),
+        "asis": ("per_coord" if args.asis_per_coord else bool(args.asis)),
         "wall_s": round(wall, 1),
         "rhat_max": round(float(rhat.max()), 4),
         "rhat_phi": round(float(rhat[0]), 4),

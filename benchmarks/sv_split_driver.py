@@ -1,0 +1,161 @@
+"""Config-5 continuation with ASIS as a SEPARATE device program.
+
+This environment's remote Mosaic/XLA compile helper reproducibly wedges
+(>25 min, then killed) on any program that fuses the ASIS hook into the
+10,240-chain sampling scan — joint and per-coordinate alike — while the
+hook-free sampling program and the hook ALONE each compile in minutes
+(measured 2026-08-20; the round-3 environment compiled the fused joint-hook
+program fine, so this is a toolchain regression, not a code change).  The
+algorithmic composition is dispatch-order, not compile-unit, so this driver
+alternates two independently compiled programs at the Python level:
+
+  [K NUTS transitions]  ->  [per-coordinate ASIS hook]  ->  ...
+
+Both kernels leave the posterior invariant, so hook-every-K is a valid
+composition for any K; K=2 keeps the hook cadence close to the A/B's
+every-transition setting (benchmarks/asis_ab.json: tau_phi 6.7,
+tau_logs 19.4 at K=1 — tau scales at most ~K in transition units) while
+halving the per-call dispatch tax.  Streamed split-chain moments thread
+through the NUTS blocks exactly as in `run_sampling` (the recorded draws are
+the pre-hook states — also exact posterior draws; R-hat/ESS then measure the
+interleaved chain's mixing conservatively).
+
+Run: python benchmarks/sv_split_driver.py --from-dir .sv10k_r4 \
+       --out-dir .sv10k_r4_cont --transitions 4000 --hook-every 2
+Appends one JSON line (the examples/results_round4.jsonl record) to stdout
+and writes <out-dir>/result.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--from-dir", default=".sv10k_r4")
+    ap.add_argument("--warmup-dir", default=None)
+    ap.add_argument("--out-dir", default=".sv10k_r4_cont")
+    ap.add_argument("--t", type=int, default=1000)
+    ap.add_argument("--chains", type=int, default=10240)
+    ap.add_argument("--transitions", type=int, default=4000)
+    ap.add_argument("--hook-every", type=int, default=2)
+    ap.add_argument("--n-keep", type=int, default=10,
+                    help="leading coordinates recorded for ESS")
+    ap.add_argument("--seed", type=int, default=23)
+    ap.add_argument("--checkpoint-every-s", type=float, default=600.0)
+    ap.add_argument("--progress-every", type=int, default=50)
+    args = ap.parse_args()
+
+    from inplacedhmc_tpu import diagnostics as diag
+    import inplacedhmc_tpu.adapt.warmup as W
+    from inplacedhmc_tpu.config import NUTS
+    from inplacedhmc_tpu.core.state import WarmupState
+    from inplacedhmc_tpu.models.stoch_vol import (make_asis_hook, stoch_vol,
+                                                  synthetic_returns)
+    from inplacedhmc_tpu.sample import _kernel
+    from inplacedhmc_tpu.utils.checkpoint import (load_lean_checkpoint,
+                                                  load_warmup_checkpoint)
+
+    returns = synthetic_returns(jax.random.PRNGKey(0), args.t, phi=0.98,
+                                s=0.15, dtype=jnp.float32)
+    model = stoch_vol(returns)
+    wstate, _, _ = load_warmup_checkpoint(
+        os.path.join(args.warmup_dir or args.from_dir, "warmup.npz"))
+    resumed = load_lean_checkpoint(os.path.join(args.from_dir, "sample.npz"))
+    assert resumed is not None, f"no sample checkpoint in {args.from_dir}"
+    z = jax.tree_util.tree_map(jnp.asarray, resumed[0])
+    state = WarmupState(z=z, metric=wstate.metric, log_eps=wstate.log_eps)
+    print(f"resuming from {args.from_dir}: z {z.q.shape}, "
+          f"eps {float(jnp.exp(jnp.atleast_1d(state.log_eps))[0]):.4g}",
+          flush=True)
+
+    K = args.hook_every
+    n_blocks = args.transitions // K
+    kd = tuple(range(args.n_keep))
+    kern = _kernel(model, NUTS(), True, None)          # hook-free programs
+    nuts_block = kern._sampling_fn(K, 1, kd, True, args.transitions)
+    hook = jax.jit(make_asis_hook(returns, per_coord=True))
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    draws = np.empty((args.transitions, args.chains, args.n_keep), np.float32)
+    acc_sum = 0.0
+    depth_sum = 0.0
+    div_sum = 0
+    steps_sum = 0
+    mom = None
+    key = jax.random.PRNGKey(args.seed)
+    z_cur = state.z
+    t0 = time.perf_counter()
+    last_ck = t0
+    for i in range(n_blocks):
+        key, k_nuts, k_hook = jax.random.split(key, 3)
+        blk = nuts_block(k_nuts, state._replace(z=z_cur), mom, i * K)
+        mom = blk.moments
+        z_cur = hook(k_hook, blk.z)
+        draws[i * K:(i + 1) * K] = np.asarray(blk.draws)
+        st = blk.stats
+        acc_sum += float(jnp.sum(st.acceptance_rate))
+        depth_sum += float(jnp.sum(st.depth))
+        steps_sum += int(jnp.sum(st.steps.astype(jnp.int64)))
+        from inplacedhmc_tpu.core.state import Termination
+        div_sum += int(jnp.sum((st.termination == Termination.DIVERGENCE)
+                               .astype(jnp.int32)))
+        if (i + 1) % args.progress_every == 0:
+            done = (i + 1) * K
+            rate = done / (time.perf_counter() - t0)
+            print(f"[split] {done}/{args.transitions} transitions "
+                  f"({rate:.2f}/s, ETA {(args.transitions - done) / rate:.0f}s)",
+                  flush=True)
+        if time.perf_counter() - last_ck > args.checkpoint_every_s:
+            np.savez(os.path.join(args.out_dir, "split_state.npz"),
+                     q=np.asarray(z_cur.q), i=i + 1,
+                     key=np.asarray(key))
+            last_ck = time.perf_counter()
+    wall = time.perf_counter() - t0
+
+    rhat = np.asarray(diag.split_rhat_from_moments(mom))
+
+    def chunked(fn, x, bs=4):
+        return np.concatenate([np.asarray(fn(x[:, :, i:i + bs]))
+                               for i in range(0, x.shape[-1], bs)])
+
+    ess_kept = chunked(lambda d: diag.ess_bulk(d, cap=False),
+                       jnp.asarray(draws))
+    n_tc = args.transitions * args.chains
+    out = {
+        "t": args.t, "chains": args.chains, "transitions": args.transitions,
+        "thin": 1, "metric": "dense", "delta": 0.9, "stream": True,
+        "continuation_of": args.from_dir,
+        "asis": "per_coord", "asis_hook_every": K,
+        "wall_s": round(wall, 1),
+        "rhat_max": round(float(rhat.max()), 4),
+        "rhat_phi": round(float(rhat[0]), 4),
+        "rhat_logs": round(float(rhat[1]), 4),
+        "rhat_h_max": round(float(rhat[2:].max()), 4),
+        "ess_scope": f"phi,log_s,h1..h{args.n_keep - 2}",
+        "ess_min": round(float(ess_kept.min()), 1),
+        "ess_phi": round(float(ess_kept[0]), 1),
+        "ess_logs": round(float(ess_kept[1]), 1),
+        "ess_min_per_s": round(float(ess_kept.min()) / wall, 1),
+        "tau_phi": round(n_tc / max(float(ess_kept[0]), 1), 1),
+        "tau_logs": round(n_tc / max(float(ess_kept[1]), 1), 1),
+        "accept": round(acc_sum / n_tc, 3),
+        "depth_mean": round(depth_sum / n_tc, 2),
+        "div_frac": round(div_sum / n_tc, 6),
+    }
+    print(json.dumps(out))
+    with open(os.path.join(args.out_dir, "result.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

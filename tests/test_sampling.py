@@ -429,7 +429,9 @@ def test_work_sorted_schedule_identity_when_homogeneous():
                                   np.asarray(b.draws[0]))
 
 
-def test_schedule_rejects_mesh_and_unknown():
+def test_schedule_rejects_unknown():
+    # (mesh composition is now supported — tests/test_parallel.py
+    # test_sharded_work_sorted_schedule)
     from inplacedhmc_tpu.sample import NUTSKernel
     from inplacedhmc_tpu.config import NUTS as NUTSCfg
 
