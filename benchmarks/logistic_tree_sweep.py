@@ -59,6 +59,14 @@ def main():
           flush=True)
 
     results = []
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "logistic_tree_sweep.json")
+
+    def flush_results():
+        with open(path, "w") as f:
+            json.dump({"chains": args.chains, "draws": args.draws,
+                       "results": results}, f, indent=1)
+
     for bc, bn, bf in itertools.product(args.block_c, args.block_n, args.bf16):
         topts = {"block_c": bc, "block_n": bn, "grad_bf16": bool(bf)}
         name = f"bc{bc}_bn{bn}" + ("_bf16" if bf else "")
@@ -85,12 +93,7 @@ def main():
             r = {"variant": name, **topts, "error": repr(e)[:300]}
         results.append(r)
         print(json.dumps(r), flush=True)
-
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "logistic_tree_sweep.json")
-    with open(path, "w") as f:
-        json.dump({"chains": args.chains, "draws": args.draws,
-                   "results": results}, f, indent=1)
+        flush_results()   # incremental: a wedged later variant keeps the rows
 
 
 if __name__ == "__main__":
