@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--t", type=int, default=1000)
     ap.add_argument("--chains", type=int, default=10240)
     ap.add_argument("--transitions", type=int, default=4000)
+    ap.add_argument("--burn", type=int, default=0,
+                    help="transitions (hook active) before moment/draw "
+                         "accumulation starts — decorrelates a warm-seeded "
+                         "ensemble (e.g. pilot positions tiled across "
+                         "chains) before R-hat bookkeeping begins")
     ap.add_argument("--hook-every", type=int, default=2)
     ap.add_argument("--n-keep", type=int, default=10,
                     help="leading coordinates recorded for ESS")
@@ -96,6 +101,20 @@ def main():
     z_cur = state.z
     t0 = time.perf_counter()
     last_ck = t0
+    for b in range(args.burn // K):
+        key, k_nuts, k_hook = jax.random.split(key, 3)
+        blk = nuts_block(k_nuts, state._replace(z=z_cur), None, 0)
+        z_cur = hook(k_hook, blk.z)
+        # value-fetch fence: without it the whole burn loop enqueues
+        # asynchronously and the tunnel's dispatch queue grows unboundedly
+        # (the sync_blocks hazard, docs/DESIGN.md §8)
+        float(jnp.sum(z_cur.logp))
+        if (b + 1) % args.progress_every == 0:
+            print(f"[split] burn {(b + 1) * K}/{args.burn}", flush=True)
+    if args.burn:
+        print(f"[split] burn-in done ({args.burn} transitions, "
+              f"{time.perf_counter() - t0:.0f}s)", flush=True)
+        t0 = time.perf_counter()
     for i in range(n_blocks):
         key, k_nuts, k_hook = jax.random.split(key, 3)
         blk = nuts_block(k_nuts, state._replace(z=z_cur), mom, i * K)
@@ -135,7 +154,7 @@ def main():
         "t": args.t, "chains": args.chains, "transitions": args.transitions,
         "thin": 1, "metric": "dense", "delta": 0.9, "stream": True,
         "continuation_of": args.from_dir,
-        "asis": "per_coord", "asis_hook_every": K,
+        "asis": "per_coord", "asis_hook_every": K, "burn": args.burn,
         "wall_s": round(wall, 1),
         "rhat_max": round(float(rhat.max()), 4),
         "rhat_phi": round(float(rhat[0]), 4),
