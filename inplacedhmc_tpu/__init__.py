@@ -14,6 +14,26 @@ Public API (the reference exports at ``InplaceDHMC.jl:3-11`` mapped here):
 ``diagnostics`` module.
 """
 
+import os as _os
+
+import jax as _jax
+
+# float32 means float32: jax's DEFAULT matmul precision on TPU is a single
+# bf16 MXU pass (8-bit mantissas).  For a sampler, matmul error inside a
+# log-density or a kinetic energy is not a performance knob — a deterministic
+# perturbation of logp/energy warps the stationary distribution itself
+# (measured: O(1) ABSOLUTE logp error at the logistic benchmark shape,
+# benchmarks/logistic_precision_ab.json — an e^{±err} density warp the
+# CPU interpret-mode tests cannot see).  So the package-wide default is
+# full f32.  Matmuls that are statistically tolerant of bf16 (covariance /
+# gram PRECONDITIONER moments, gradient-only contractions) opt back into
+# fast bf16 locally with an explicit ``precision=`` at the call site.
+# Opt out globally via INPLACEDHMC_TPU_MATMUL_PRECISION (any jax precision
+# name, e.g. "bfloat16").
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("INPLACEDHMC_TPU_MATMUL_PRECISION", "float32"))
+
 from .config import (DualAveraging, FindLocalOptimum, FixedStepsize,
                      InitialStepsizeSearch, NUTS, TuningNUTS,
                      default_warmup_stages, fixed_stepsize_warmup_stages)

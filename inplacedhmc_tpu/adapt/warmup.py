@@ -188,7 +188,8 @@ def _update_moments(mom, stage: TuningNUTS, q):
     if stage.metric == "diag":
         s2 = mom.s2 + jnp.sum(c * c, axis=0)
     else:
-        s2 = mom.s2 + c.T @ c
+        # preconditioner moments tolerate bf16; skip the f32 matmul default
+        s2 = mom.s2 + jnp.matmul(c.T, c, precision=jax.lax.Precision.DEFAULT)
     return mom._replace(cnt=mom.cnt + q.shape[0], s1=s1, s2=s2)
 
 

@@ -196,7 +196,9 @@ def regularized_cov(draws: jnp.ndarray, lam, pooled: bool = True,
             s1 = jax.lax.psum(s1, axis_name)
         mean = s1 / cnt
         flatc = flat - mean
-        s2 = flatc.T @ flatc
+        # preconditioner moments tolerate bf16 (~1e-2 relative) — opt out of
+        # the package-wide f32 matmul default for the big gram products
+        s2 = jnp.matmul(flatc.T, flatc, precision=jax.lax.Precision.DEFAULT)
         if axis_name is not None:
             s2 = jax.lax.psum(s2, axis_name)
         cov = s2 / (cnt - 1)
@@ -204,7 +206,8 @@ def regularized_cov(draws: jnp.ndarray, lam, pooled: bool = True,
     else:
         mean = jnp.mean(draws, axis=0)                       # [C, D]
         c = draws - mean[None]
-        cov = jnp.einsum("nci,ncj->cij", c, c) / (n - 1)
+        cov = jnp.einsum("nci,ncj->cij", c, c,
+                         precision=jax.lax.Precision.DEFAULT) / (n - 1)
         n_eff = jnp.asarray(n, draws.dtype)
     eye = jnp.eye(d, dtype=draws.dtype)
     return _regularize(cov, n_eff, lam, draws.dtype,
@@ -335,7 +338,8 @@ def estimate_low_rank_metric(draws: jnp.ndarray, lam, rank: int,
         s2c = jax.lax.psum(s2c, axis_name)
     diag_inv = _regularize(s2c / (cnt - 1), cnt, lam, draws.dtype)
     xw = ctr / jnp.sqrt(diag_inv)
-    gram = jnp.einsum("ncd,nce->de", xw, xw)
+    gram = jnp.einsum("ncd,nce->de", xw, xw,
+                      precision=jax.lax.Precision.DEFAULT)  # preconditioner
     if axis_name is not None:
         gram = jax.lax.psum(gram, axis_name)
     cov_w = gram / (cnt - 1)

@@ -32,12 +32,59 @@ from .common import chain_tiles
 from .common import round_up as _round_up
 
 
-def _make_fused_kernel(grad_bf16: bool, ablate_trans: bool = False):
+#: MXU pass counts per precision: "default" = one bf16 pass, "high" = three
+#: bf16 passes via an explicit hi/lo bf16 split (Mosaic rejects
+#: lax.Precision.HIGH, so the classic split-float trick is hand-rolled:
+#: a = a_hi + a_lo with both bf16 leaves eta error ~2^-17 relative once the
+#: lo*lo term is dropped — f32-grade), "highest" = six passes (exact f32).
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _split_bf16(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a, b, dnums):
+    """f32-grade [a contract b] in three 1-pass bf16 MXU products."""
+    a_hi, a_lo = _split_bf16(a)
+    b_hi, b_lo = _split_bf16(b)
+    acc = jax.lax.dot_general(a_hi, b_hi, dnums,
+                              preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(a_lo, b_hi, dnums,
+                               preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(a_hi, b_lo, dnums,
+                               preferred_element_type=jnp.float32)
+    return acc
+
+
+def _make_fused_kernel(grad_bf16: bool, ablate_trans: bool = False,
+                       fwd_precision: str = "high",
+                       bwd_precision: str = "default"):
     """``ablate_trans``: INTERNAL measurement hook
     (benchmarks/logistic_mxu_sweep.py) replacing the exp/log1p block with
     linear stand-ins of the same shape — the resulting kernel computes the
     WRONG density; it exists only to attribute kernel time between the two
-    MXU contractions and the [BC, BN] VPU transcendental block."""
+    MXU contractions and the [BC, BN] VPU transcendental block.
+
+    ``fwd_precision``/``bwd_precision``: MXU precision of the eta and grad
+    contractions.  This is load-bearing for CORRECTNESS, not just speed:
+    jax's DEFAULT on TPU is a single bf16 pass, which puts O(1e-2) relative
+    error in every eta element, and summing ~1e4 such log-likelihood terms
+    leaves O(1) ABSOLUTE error in logp — a deterministic perturbation of the
+    target density itself (measured: benchmarks/logistic_precision_ab.json).
+    The forward therefore defaults to HIGH (3-pass bf16, f32-grade eta).
+    The backward stays DEFAULT: a perturbed-but-deterministic gradient field
+    only shifts acceptance, never the stationary distribution (leapfrog stays
+    reversible/volume-preserving and energies are f32) — same argument as
+    ``grad_bf16``."""
+    fprec = None if fwd_precision == "high" else _PRECISIONS[fwd_precision]
+    bprec = None if bwd_precision == "high" else _PRECISIONS[bwd_precision]
+
     def _kernel(q_ref, x_ref, yw_ref, s2_ref, logp_ref, grad_ref):
         j = pl.program_id(1)
         nj = pl.num_programs(1)
@@ -52,8 +99,13 @@ def _make_fused_kernel(grad_bf16: bool, ablate_trans: bool = False):
         y = yw_ref[0, :]                 # [BN]
         w = yw_ref[1, :]                 # [BN]
 
-        eta = jax.lax.dot_general(q, x, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)  # [BC, BN]
+        fwd_dnums = (((1,), (1,)), ((), ()))
+        if fprec is None:
+            eta = _dot3(q, x, fwd_dnums)                           # [BC, BN]
+        else:
+            eta = jax.lax.dot_general(q, x, fwd_dnums,
+                                      preferred_element_type=jnp.float32,
+                                      precision=fprec)             # [BC, BN]
         # one transcendental pair serves both the value and the gradient:
         # t = e^{-|eta|} gives log(1+e^eta) = max(eta,0) + log1p(t) (stable)
         # and sigmoid(eta) = 1/(1+t) for eta>=0, t/(1+t) otherwise — saves a
@@ -80,8 +132,13 @@ def _make_fused_kernel(grad_bf16: bool, ablate_trans: bool = False):
             # only (marginally) lowers acceptance. logp is NOT touched.
             resid = resid.astype(jnp.bfloat16)
             x = x.astype(jnp.bfloat16)
-        grad_ref[:] += jax.lax.dot_general(resid, x, (((1,), (0,)), ((), ())),
-                                           preferred_element_type=jnp.float32)
+        bwd_dnums = (((1,), (0,)), ((), ()))
+        if bprec is None:
+            grad_ref[:] += _dot3(resid, x, bwd_dnums)
+        else:
+            grad_ref[:] += jax.lax.dot_general(
+                resid, x, bwd_dnums, preferred_element_type=jnp.float32,
+                precision=bprec)
 
         @pl.when(j == nj - 1)
         def _prior():
@@ -96,16 +153,20 @@ _kernel = _make_fused_kernel(False)  # default f32 kernel (back-compat name)
 
 
 @functools.partial(jax.jit, static_argnames=("block_c", "block_n", "interpret",
-                                             "grad_bf16", "ablate_trans"))
+                                             "grad_bf16", "ablate_trans",
+                                             "fwd_precision", "bwd_precision"))
 def _logistic_value_and_grad_padded(q, x, yw, s2, block_c: int, block_n: int,
                                     interpret: bool = False,
                                     grad_bf16: bool = False,
-                                    ablate_trans: bool = False):
+                                    ablate_trans: bool = False,
+                                    fwd_precision: str = "high",
+                                    bwd_precision: str = "default"):
     cpad, dpad = q.shape
     npad = x.shape[0]
     grid = (cpad // block_c, npad // block_n)
     logp, grad = pl.pallas_call(
-        _make_fused_kernel(grad_bf16, ablate_trans),
+        _make_fused_kernel(grad_bf16, ablate_trans, fwd_precision,
+                           bwd_precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_c, dpad), lambda i, j: (i, 0),
@@ -140,7 +201,9 @@ def make_logistic_potential(x, y, inv_var: float,
                             block_c: int = 512, block_n: int = 1024,
                             interpret: bool = False,
                             grad_bf16: bool = False,
-                            _ablate_trans: bool = False):
+                            _ablate_trans: bool = False,
+                            fwd_precision: str = "high",
+                            bwd_precision: str = "default"):
     """Build a batched ``q [C, D] -> (logp [C], grad [C, D])`` potential using
     the fused kernel.  Data is padded once at build time; chains are padded
     per call.  Set ``interpret=True`` for CPU testing.
@@ -167,7 +230,9 @@ def make_logistic_potential(x, y, inv_var: float,
             q.astype(jnp.float32))
         logp, grad = _logistic_value_and_grad_padded(q_p, x_p, yw, s2, bc,
                                                      block_n, interpret,
-                                                     grad_bf16, _ablate_trans)
+                                                     grad_bf16, _ablate_trans,
+                                                     fwd_precision,
+                                                     bwd_precision)
         logp = logp[:c]
         grad = grad[:c, :d]
         ok = jnp.isfinite(logp)

@@ -167,3 +167,50 @@ def test_logistic_kernel_grad_bf16_mode():
     scale = np.abs(np.asarray(g32)).max()
     np.testing.assert_allclose(np.asarray(g16), np.asarray(g32),
                                atol=2e-2 * scale)
+
+
+def test_matmul_precision_is_f32_by_default():
+    """Importing the package must flip jax's default matmul precision to full
+    f32: the TPU DEFAULT (one bf16 pass) puts O(1) ABSOLUTE error into any
+    log-density/energy that sums ~1e4 matmul-derived terms — a deterministic
+    warp of the stationary distribution (measured on hardware:
+    benchmarks/logistic_precision_ab.json)."""
+    import inplacedhmc_tpu  # noqa: F401
+    assert str(jax.config.jax_default_matmul_precision) == "float32"
+
+
+def test_split_bf16_dot3_is_f32_grade():
+    """The hand-rolled 3-pass bf16 split (``fwd_precision="high"``) must
+    reconstruct f32-grade products: dropping only the lo*lo term leaves
+    ~2^-17 relative error."""
+    from inplacedhmc_tpu.ops.logistic_pallas import _dot3
+    rng = np.random.default_rng(11)
+    a64 = rng.normal(size=(96, 160))
+    b64 = rng.normal(size=(160, 224))
+    ref = a64 @ b64
+    got = np.asarray(_dot3(jnp.asarray(a64, jnp.float32),
+                           jnp.asarray(b64, jnp.float32),
+                           (((1,), (0,)), ((), ()))))
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 5e-5, rel
+
+
+def test_logistic_kernel_fwd_precision_modes_agree():
+    """In interpret mode every precision mode computes with f32 jnp ops, so
+    "high" (split-bf16 3-pass) must agree with "highest" to split-trick
+    accuracy — this pins the _dot3 wiring inside the kernel (sign/order of
+    the partial products), not MXU behavior."""
+    key = jax.random.PRNGKey(5)
+    x, y, _ = synthetic_data(key, n_obs=500, n_features=19, dtype=jnp.float32)
+    model = logistic_regression(x, y)
+    mk = lambda prec: make_logistic_potential(
+        x, y, model.structure["inv_var"], block_c=64, block_n=256,
+        interpret=True, fwd_precision=prec)
+    q = jax.random.normal(jax.random.PRNGKey(6), (40, 19), jnp.float32) * 0.3
+    lp_hi, g_hi = mk("highest")(q)
+    lp_3p, g_3p = mk("high")(q)
+    np.testing.assert_allclose(np.asarray(lp_3p), np.asarray(lp_hi),
+                               rtol=0, atol=5e-3)
+    scale = np.abs(np.asarray(g_hi)).max()
+    np.testing.assert_allclose(np.asarray(g_3p), np.asarray(g_hi),
+                               atol=1e-3 * scale)
