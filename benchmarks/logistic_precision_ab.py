@@ -88,7 +88,9 @@ def main():
     from inplacedhmc_tpu.ops.logistic_pallas import make_logistic_potential
 
     rows = []
-    for fwd in ("default", "high", "highest"):
+    # "high3" = in-kernel 3-pass split; "packed" = 2-pass split riding the
+    # dead contraction lanes (D<=64); plain "high" auto-selects packed here
+    for fwd in ("default", "high3", "packed", "highest"):
         for bwd in ("default", "highest"):
             if bwd == "highest" and fwd != "highest":
                 continue  # only need one "everything exact" anchor

@@ -39,7 +39,11 @@ def batched_logdensity_and_grad(logp: Callable) -> Callable:
                              jnp.all(jnp.isfinite(grad), axis=-1))
         val = jnp.where(ok, val, -jnp.inf)
         grad = jnp.where(ok[..., None], grad, jnp.zeros_like(grad))
-        return val, grad
+        # pin to the STATE dtype: under x64 mode a model with f64 constants
+        # silently promotes logp/grad to f64, which then breaks the f32
+        # while_loop carries in the tree (dtype of the sampler is q's, not
+        # the model data's)
+        return val.astype(q.dtype), grad.astype(q.dtype)
 
     return evaluate
 

@@ -488,3 +488,21 @@ def test_keep_dims_respected_in_plain_block_path():
                            warmup_stages=[], eps=0.3, use_pallas="off",
                            draw_block=4, keep_dims=(0, 5))
     assert res.draws.shape == (10, 8, 2), res.draws.shape
+
+
+def test_f64_model_constants_with_f32_state():
+    """A model holding f64 constants (the natural numpy default under x64
+    mode) must not leak f64 into the f32 sampler state: the potential
+    wrapper pins logp/grad to q's dtype, else the tree's while_loop carries
+    type-mismatch (regression: mcmc_with_warmup(mvn(np.array(...))) under
+    jax_enable_x64)."""
+    import numpy as np
+    from inplacedhmc_tpu.models import mvn
+    from inplacedhmc_tpu.sample import mcmc_with_warmup
+
+    cov = np.array([[2.0, 1.2], [1.2, 1.5]])  # f64 constants inside logp
+    res = mcmc_with_warmup(jax.random.PRNGKey(0), mvn(cov), 200, n_chains=32,
+                           dtype=jnp.float32)
+    assert res.draws.dtype == jnp.float32
+    emp = np.cov(np.asarray(res.draws).reshape(-1, 2).T)
+    assert np.abs(emp - cov).max() < 0.5
