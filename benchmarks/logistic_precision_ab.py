@@ -88,8 +88,8 @@ def main():
     from inplacedhmc_tpu.ops.logistic_pallas import make_logistic_potential
 
     rows = []
-    # "high3" = in-kernel 3-pass split; "packed" = 2-pass split riding the
-    # dead contraction lanes (D<=64); plain "high" auto-selects packed here
+    # "high3" (== "high") = the in-kernel 3-pass split; "packed" = the
+    # separate opt-in 2-pass split riding the dead contraction lanes (D<=64)
     for fwd in ("default", "high3", "packed", "highest"):
         for bwd in ("default", "highest"):
             if bwd == "highest" and fwd != "highest":

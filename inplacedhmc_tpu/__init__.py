@@ -24,15 +24,19 @@ import jax as _jax
 # perturbation of logp/energy warps the stationary distribution itself
 # (measured: O(1) ABSOLUTE logp error at the logistic benchmark shape,
 # benchmarks/logistic_precision_ab.json — an e^{±err} density warp the
-# CPU interpret-mode tests cannot see).  So the package-wide default is
-# full f32.  Matmuls that are statistically tolerant of bf16 (covariance /
-# gram PRECONDITIONER moments, gradient-only contractions) opt back into
-# fast bf16 locally with an explicit ``precision=`` at the call site.
-# Opt out globally via INPLACEDHMC_TPU_MATMUL_PRECISION (any jax precision
-# name, e.g. "bfloat16").
-_jax.config.update(
-    "jax_default_matmul_precision",
-    _os.environ.get("INPLACEDHMC_TPU_MATMUL_PRECISION", "float32"))
+# CPU interpret-mode tests cannot see).  So the package default is full f32.
+# Matmuls that are statistically tolerant of bf16 (covariance / gram
+# PRECONDITIONER moments, gradient-only contractions) opt back into fast
+# bf16 locally with an explicit ``precision=`` at the call site.
+# Precedence: INPLACEDHMC_TPU_MATMUL_PRECISION (package override, any jax
+# precision name) > a precision the user already set (jax.config.update or
+# JAX's own JAX_DEFAULT_MATMUL_PRECISION env var — never clobbered) > the
+# package's "float32" default when nothing is set.
+_pkg_prec = _os.environ.get("INPLACEDHMC_TPU_MATMUL_PRECISION")
+if _pkg_prec is not None:
+    _jax.config.update("jax_default_matmul_precision", _pkg_prec)
+elif _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "float32")
 
 from .config import (DualAveraging, FindLocalOptimum, FixedStepsize,
                      InitialStepsizeSearch, NUTS, TuningNUTS,

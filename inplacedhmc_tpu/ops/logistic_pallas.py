@@ -335,6 +335,19 @@ def make_logistic_potential(x, y, inv_var: float,
     and f32 accumulation.  Preserves exactness — energies and the log density
     stay f32, and HMC is valid for any deterministic gradient field — while
     roughly halving the MXU cost of the backward matmul."""
+    # validate the precision knobs up front (a typo'd fused_opts value would
+    # otherwise surface as an opaque KeyError deep in the jitted builder):
+    # "high3" is the explicit alias of the default 3-pass in-kernel split
+    allowed_fwd = ("default", "high", "high3", "highest", "packed")
+    allowed_bwd = ("default", "high", "high3", "highest")
+    if fwd_precision not in allowed_fwd:
+        raise ValueError(f"fwd_precision {fwd_precision!r} not in "
+                         f"{allowed_fwd}")
+    if bwd_precision not in allowed_bwd:
+        raise ValueError(f"bwd_precision {bwd_precision!r} not in "
+                         f"{allowed_bwd}")
+    if bwd_precision == "high3":
+        bwd_precision = "high"
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     n, d = x.shape
@@ -356,9 +369,14 @@ def make_logistic_potential(x, y, inv_var: float,
     # opt-in measurement arm.
     packed_ok = (d <= 64 and dpad == 128 and not grad_bf16
                  and bwd_precision == "default")
-    if fwd_precision == "packed":
-        assert packed_ok, ("packed forward needs D <= 64, grad_bf16=False, "
-                           "bwd_precision='default'")
+    if fwd_precision == "packed" and not packed_ok:
+        # must survive `python -O`: with d > 64 the .at[:, 64:64+d] packing
+        # silently clips at lane 128 and overlapping hi/lo lanes compute a
+        # wrong density with no error
+        raise ValueError("packed forward needs D <= 64, grad_bf16=False, "
+                         "bwd_precision='default' "
+                         f"(got D={d}, grad_bf16={grad_bf16}, "
+                         f"bwd_precision={bwd_precision!r})")
     use_packed = fwd_precision == "packed"
     if fwd_precision == "high3":
         fwd_precision = "high"
