@@ -2,7 +2,7 @@
 
 from .base import Model
 from .eight_schools import eight_schools
-from .funnel import funnel
+from .funnel import funnel, funnel_nc
 from .gaussian import diag_normal, mvn, std_normal
 from .logistic import logistic_regression, synthetic_data
 from .stoch_vol import stoch_vol, synthetic_returns
@@ -10,7 +10,7 @@ from .transforms import (Bijector, identity, interval, lower_bounded, positive,
                          simplex, transformed_model)
 
 __all__ = [
-    "Model", "std_normal", "diag_normal", "mvn", "funnel",
+    "Model", "std_normal", "diag_normal", "mvn", "funnel", "funnel_nc",
     "logistic_regression", "synthetic_data", "eight_schools",
     "stoch_vol", "synthetic_returns",
     "Bijector", "identity", "interval", "lower_bounded", "positive",

@@ -191,6 +191,58 @@ def _shard_map_transition(trans, mesh, axis_name: str,
     return sharded_sched
 
 
+def _shard_map_padded_runner(run_padded, mesh, axis_name: str):
+    """Shard the whole-tree kernel's persistent padded loop
+    (:class:`adapt.warmup.SweepRunner`): each device runs ``run_padded`` on
+    its LOCAL chain rows, padding them to kernel tiles *inside* the shard
+    (tiles never span shards, mirroring :func:`_shard_map_transition`).  The
+    returned runner keeps the ``(key, q_pad, eps_col, valid_col)`` signature
+    on GLOBAL arrays whose chain padding quantum is 8 rows (``block_c=8``
+    metadata) — the kernel's real ``block_c`` tiling is a per-shard concern
+    here, so the driver's global padded state stays exactly chain-sharded."""
+    from jax.sharding import PartitionSpec as P
+
+    from .ops.common import chain_tiles
+
+    K = run_padded.n_sweep
+    kernel_bc = run_padded.block_c
+    # leading sweep axis on draws/stats when the kernel sweeps
+    draw_spec = P(axis_name, None) if K == 1 else P(None, axis_name, None)
+    stat_spec = P(axis_name) if K == 1 else P(None, axis_name)
+
+    def local(k, q, epsc, validc):
+        k = jax.random.fold_in(k, jax.lax.axis_index(axis_name))
+        c_loc = q.shape[0]
+        cpad_loc, _ = chain_tiles(c_loc, kernel_bc)
+        pad = cpad_loc - c_loc
+        if pad:
+            zrow = lambda x: jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+            q, epsc, validc = zrow(q), zrow(epsc), zrow(validc)
+        q_d, logp, grad, stats = run_padded(k, q, epsc, validc)
+        cut = lambda x: x[..., :c_loc, :] if x.ndim >= 2 else x[:c_loc]
+        stats = jax.tree_util.tree_map(
+            (lambda x: x[:c_loc]) if K == 1 else (lambda x: x[:, :c_loc]),
+            stats)
+        return cut(q_d), cut(logp), grad[:c_loc], stats
+
+    from .core.state import TreeStats
+    stats_spec = TreeStats(*(stat_spec for _ in TreeStats._fields))
+
+    def sharded(key, q_pad, eps_col, valid_col):
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(axis_name, None), P(axis_name, None),
+                      P(axis_name, None)),
+            out_specs=(draw_spec, draw_spec, P(axis_name, None), stats_spec),
+            check_vma=False)(key, q_pad, eps_col, valid_col)
+
+    sharded.block_c = 8       # global padding quantum (per-shard tiles inside)
+    sharded.n_sweep = K
+    sharded.dim = run_padded.dim
+    return sharded
+
+
 class NUTSKernel:
     """Compiled sampling kernels for one (model, algorithm, adaptation) config.
 
@@ -297,10 +349,6 @@ class NUTSKernel:
             padded_req = bool(topts.pop("padded_io", sweep_k > 1))
             if sweep_k > 1 and not padded_req:
                 raise ValueError("n_sweep > 1 requires padded_io")
-            if padded_req and shard_mesh is not None:
-                raise ValueError("padded_io/n_sweep do not compose with "
-                                 "shard_mesh yet (the padded persistent "
-                                 "state is single-shard)")
             if padded_req and not topts.get("refresh_inside", False) \
                     and not tree_interp:
                 # on TPU the padded loop draws all randomness in-kernel
@@ -346,15 +394,24 @@ class NUTSKernel:
                     # a sweep-shaped transition returns stacked draws; tuning
                     # (per-transition eps adaptation) needs the plain kernel
                     trans = ptrans if sweep_k == 1 else build()
+                    if mesh is not None:
+                        # per-shard persistent padded state (the same move as
+                        # per-shard scheduling): each device pads its local
+                        # rows to kernel tiles inside the shard_map
+                        run_padded = _shard_map_padded_runner(run_padded,
+                                                              mesh, axis)
+                        trans = _shard_map_transition(trans, mesh, axis,
+                                                      schedule=self.schedule)
                     from .adapt.warmup import SweepRunner
-                    trans._sweep = SweepRunner(
+                    sweep_meta = SweepRunner(
                         run_padded=run_padded, n_sweep=sweep_k,
                         block_c=run_padded.block_c)
+                    trans._sweep = sweep_meta
                 else:
                     trans = build()
-                if mesh is not None:
-                    trans = _shard_map_transition(trans, mesh, axis,
-                                                  schedule=self.schedule)
+                    if mesh is not None:
+                        trans = _shard_map_transition(trans, mesh, axis,
+                                                      schedule=self.schedule)
                 return trans
 
             self.transition_factory = tree_factory
