@@ -117,7 +117,9 @@ def main():
     ap.add_argument("--tag", default=None)
     ap.add_argument("--seed", type=int, default=5)
     ap.add_argument("--doublings", type=int, default=4)
-    ap.add_argument("--tuning-chunk", type=int, default=50)
+    # small chunks: the tunnel kills multi-minute device calls (DESIGN #8),
+    # and a 50-transition dense chunk at 10240 x 1002 exceeds that
+    ap.add_argument("--tuning-chunk", type=int, default=15)
     ap.add_argument("--probe-chains", type=int, default=2048)
     ap.add_argument("--probe-transitions", type=int, default=600)
     ap.add_argument("--probe-block", type=int, default=10)
@@ -150,16 +152,32 @@ def main():
         stepsize_adaptation=DualAveraging(delta=0.9),
         doubling_stages=args.doublings, metric="dense", stream=True)
 
+    win_path = os.path.join(out_dir, "windows.jsonl")
     if not args.skip_warmup:
         kern = _kernel(model, NUTS(), True, None, use_pallas=args.policy)
-        key = jax.random.PRNGKey(args.seed)
-        key, k_init = jax.random.split(key)
-        state = W.init_warmup_state(k_init, kern.potential, model.dim,
-                                    args.chains, jnp.float32)
-        records["windows"].append(
-            window_record("init", state, [], 0.0))
-        print(json.dumps(records["windows"][-1]), flush=True)
+        # per-stage resume: the tunnel worker crashes on long runs; each
+        # completed stage persists (state + per-window record) and a rerun
+        # skips it
+        ck = os.path.join(out_dir, "warmup.npz")
+        done_stages = 0
+        if os.path.exists(os.path.join(out_dir, "stage.npz")):
+            state, key, done_stages = load_warmup_checkpoint(
+                os.path.join(out_dir, "stage.npz"))
+            with open(win_path) as f:
+                records["windows"] = [json.loads(l) for l in f if l.strip()]
+            print(f"resuming after stage {done_stages}", flush=True)
+        else:
+            key = jax.random.PRNGKey(args.seed)
+            key, k_init = jax.random.split(key)
+            state = W.init_warmup_state(k_init, kern.potential, model.dim,
+                                        args.chains, jnp.float32)
+            records["windows"].append(window_record("init", state, [], 0.0))
+            with open(win_path, "w") as f:
+                f.write(json.dumps(records["windows"][-1]) + "\n")
+            print(json.dumps(records["windows"][-1]), flush=True)
         for i, stage in enumerate(stages):
+            if i < done_stages:
+                continue
             key, k_s = jax.random.split(key)
             t0 = time.perf_counter()
             state, wstats = kern.warmup(k_s, state, [stage],
@@ -170,13 +188,20 @@ def main():
                 f"(n={stage.n},metric={stage.metric})"
                 if hasattr(stage, "n") else "")
             records["windows"].append(window_record(label, state, wstats, wall))
+            with open(win_path, "a") as f:
+                f.write(json.dumps(records["windows"][-1]) + "\n")
             print(json.dumps(records["windows"][-1]), flush=True)
-        save_warmup_checkpoint(os.path.join(out_dir, "warmup.npz"), state,
-                               key, len(stages))
+            save_warmup_checkpoint(os.path.join(out_dir, "stage.npz"), state,
+                                   key, i + 1)
+        save_warmup_checkpoint(ck, state, key, len(stages))
     else:
         state, key, _ = load_warmup_checkpoint(
             os.path.join(out_dir, "warmup.npz"))
-        records["windows"] = "skipped (reused warmup.npz)"
+        if os.path.exists(win_path):
+            with open(win_path) as f:
+                records["windows"] = [json.loads(l) for l in f if l.strip()]
+        else:
+            records["windows"] = "skipped (reused warmup.npz)"
 
     # ---- fixed-kernel mixing probe (engine-independent: XLA tree) ----------
     pc = args.probe_chains
