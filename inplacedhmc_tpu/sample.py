@@ -601,14 +601,26 @@ class NUTSKernel:
 
     def warmup(self, key, state: WarmupState, stages: Sequence, reporter=None,
                tuning_chunk: Optional[int] = None,
-               sync_blocks: bool = False) -> Tuple[WarmupState, list]:
+               sync_blocks: bool = False,
+               chunk_hook: Optional[Callable] = None) -> Tuple[WarmupState, list]:
         """Run the stage sequence (the ``_warmup!`` unroller, ``warmup.jl:397-408``).
 
         ``tuning_chunk``: split each TuningNUTS window into device calls of at
         most this many transitions, with a reporter tick per chunk — the
         reference's in-window progress (``reporting.jl:90-109``); the
         dual-averaging carry threads across chunks, the metric estimate still
-        uses the whole window's draws."""
+        uses the whole window's draws.
+
+        ``chunk_hook(key, z) -> z``: an extra posterior-invariant kernel
+        applied BETWEEN tuning chunks at the dispatch level (requires
+        ``tuning_chunk``) — the warmup-side analog of
+        ``benchmarks/sv_split_driver.py``'s composition.  Use when the
+        fused ``post_step`` program does not compile at scale (the
+        10k-chain ASIS wedge, docs/DESIGN.md #12.3) or when hook-every-
+        transition is unnecessarily fine: an ASIS hook every
+        ``tuning_chunk`` transitions lets slow hyperparameters equilibrate
+        DURING the metric windows, so the pooled metric/eps are estimated
+        on the posterior, not on the initialization transient."""
         reporter = reporter or NoProgressReport()
         warmup_stats = []
         for stage in stages:
@@ -637,6 +649,9 @@ class NUTSKernel:
                 if tuning_chunk is None or tuning_chunk >= stage.n:
                     res = self._tuning_fn(stage)(sub, state)
                     state = res.state
+                    if chunk_hook is not None:
+                        sub, kh = jax.random.split(sub)
+                        state = state._replace(z=chunk_hook(kh, state.z))
                     warmup_stats.append(res.stats)
                 else:
                     adapting = isinstance(stage.stepsize_adaptation,
@@ -653,6 +668,9 @@ class NUTSKernel:
                         res = self._tuning_chunk_fn(stage, nb)(
                             kb, state._replace(z=z_cur), da, mom)
                         z_cur, da, mom = res.z, res.da, res.mom
+                        if chunk_hook is not None:
+                            sub, kh = jax.random.split(sub)
+                            z_cur = chunk_hook(kh, z_cur)
                         parts.append(res)
                         done += nb
                         if adapting:

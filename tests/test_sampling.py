@@ -506,3 +506,41 @@ def test_f64_model_constants_with_f32_state():
     assert res.draws.dtype == jnp.float32
     emp = np.cov(np.asarray(res.draws).reshape(-1, 2).T)
     assert np.abs(emp - cov).max() < 0.5
+
+
+def test_warmup_chunk_hook_dispatch_level():
+    """chunk_hook composes an extra kernel BETWEEN tuning chunks at the
+    dispatch level (the warmup-side analog of the split-program ASIS
+    driver): it must be called once per chunk (and once per unchunked
+    tuning window), see concrete (non-traced) states, and leave the
+    warmup product sane."""
+    from inplacedhmc_tpu.config import NUTS, TuningNUTS
+    from inplacedhmc_tpu.sample import _kernel
+    import inplacedhmc_tpu.adapt.warmup as W
+
+    model = std_normal(4)
+    kern = _kernel(model, NUTS(), True, None, use_pallas="off")
+    state = W.init_warmup_state(jax.random.PRNGKey(0), kern.potential, 4, 16,
+                                jnp.float64, eps=0.5)
+    calls = []
+
+    def hook(key, z):
+        # np.asarray succeeds only on concrete (dispatch-level) arrays —
+        # a traced z here would mean the hook got fused into the jit
+        calls.append(np.asarray(z.q).copy())
+        return z
+
+    stages = [TuningNUTS(n=20, metric="diag"), TuningNUTS(n=7, metric=None)]
+    out, _ = kern.warmup(jax.random.PRNGKey(1), state, stages,
+                         tuning_chunk=8, chunk_hook=hook)
+    # 20-window -> chunks of 8+8+4 = 3 hooks; 7-window unchunked -> 1 hook
+    assert len(calls) == 4
+    assert all(np.isfinite(c).all() for c in calls)
+    assert np.isfinite(np.asarray(out.metric.inv)).all()
+    # the hook's OUTPUT state threads into the next chunk: a hook that
+    # shifts q must change the final state vs the identity-hook run
+    out2, _ = kern.warmup(jax.random.PRNGKey(1), state, stages,
+                          tuning_chunk=8,
+                          chunk_hook=lambda k, z: W.evaluate(
+                              kern.potential, z.q + 1e-3))
+    assert not np.allclose(np.asarray(out.z.q), np.asarray(out2.z.q))
