@@ -123,6 +123,16 @@ def main():
     ap.add_argument("--probe-chains", type=int, default=2048)
     ap.add_argument("--probe-transitions", type=int, default=600)
     ap.add_argument("--probe-block", type=int, default=10)
+    ap.add_argument("--chunk-hook", action="store_true",
+                    help="interleave per-coordinate ASIS between tuning "
+                         "chunks (dispatch-level, sample.NUTSKernel.warmup "
+                         "chunk_hook) so theta equilibrates DURING the "
+                         "metric windows")
+    ap.add_argument("--hook-steps", type=int, default=6,
+                    help="ASIS MH sub-steps per chunk-hook invocation (the "
+                         "hook fires only every tuning_chunk transitions, "
+                         "so more sub-steps per firing than the fused "
+                         "per-transition default)")
     ap.add_argument("--skip-warmup", action="store_true",
                     help="reuse .sv_diag_<tag>/warmup.npz, probe only")
     args = ap.parse_args()
@@ -153,6 +163,10 @@ def main():
         doubling_stages=args.doublings, metric="dense", stream=True)
 
     win_path = os.path.join(out_dir, "windows.jsonl")
+    whook = (jax.jit(make_asis_hook(returns, per_coord=True,
+                                    n_steps=args.hook_steps))
+             if args.chunk_hook else None)
+    records["chunk_hook"] = bool(args.chunk_hook)
     if not args.skip_warmup:
         kern = _kernel(model, NUTS(), True, None, use_pallas=args.policy)
         # per-stage resume: the tunnel worker crashes on long runs; each
@@ -182,7 +196,7 @@ def main():
             t0 = time.perf_counter()
             state, wstats = kern.warmup(k_s, state, [stage],
                                         tuning_chunk=args.tuning_chunk,
-                                        sync_blocks=True)
+                                        sync_blocks=True, chunk_hook=whook)
             wall = time.perf_counter() - t0
             label = f"{i}:{type(stage).__name__}" + (
                 f"(n={stage.n},metric={stage.metric})"
