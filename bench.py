@@ -46,8 +46,10 @@ TREE_OPTS = {"block_c": 2048, "padded_io": True, "refresh_inside": True}
 
 
 def _fence(x):
-    """Value fetch: the only reliable dispatch fence on the TPU tunnel."""
-    return float(jnp.sum(x))
+    """Value fetch: the only reliable dispatch fence on the TPU tunnel
+    (single definition: inplacedhmc_tpu.sample.value_fence)."""
+    from inplacedhmc_tpu.sample import value_fence
+    return value_fence(x)
 
 
 def bench_leapfrog_steps_per_sec(n_chains=10_240, dim=100, n_transitions=64,

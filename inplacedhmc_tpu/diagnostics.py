@@ -100,61 +100,59 @@ def _steps_depth_2d(stats: TreeStats):
     return steps, depth
 
 
-def lockstep_utilization(stats: TreeStats, max_depth: int = 10) -> float:
-    """Fraction of executed lockstep leaf-iterations that did useful work.
+def _used_executed(stats: TreeStats, block_c: int, max_depth: int):
+    """Per-transition (used, executed) leaf-row counts under ``block_c``
+    tiling — the single tile-exit model behind both utilization telemetries.
 
-    The lockstep tree (nuts/tree.py docstring) runs every chain until the
-    *slowest* chain's trajectory terminates: per transition the loop executes
-    ``2^(d_exit) - 1`` leaf iterations where ``d_exit`` is the deepest
-    doubling any chain completed (+1 unless capped at ``max_depth``), while a
-    chain only *uses* ``steps`` of them.  This estimates
-    ``mean(steps) / executed`` from recorded statistics — the telemetry for
-    the straggler economics discussed in docs/DESIGN.md §3.  Aggregation is
-    the mean of per-transition ratios (each transition weighted equally);
-    :func:`tiled_lockstep_utilization` with ``block_c >= n_chains`` is the
-    work-weighted counterpart wall-clock follows.
+    A tile of ``block_c`` chain rows executes ``2^(d_exit) - 1`` leaf
+    iterations where ``d_exit`` is the deepest doubling any row in the tile
+    completed (+1 unless capped at ``max_depth``) — the whole-tree kernel's
+    doubling-block early exit (``ops/tree_pallas.py``; leaf-level exits
+    inside an un-skipped block make the kernel strictly better than this
+    estimate).  Each executed iteration costs ``block_c`` hardware rows, so
+    padding waste from ``c % block_c != 0`` is (honestly) counted as waste;
+    padded rows start inactive and never extend a tile's exit depth.
+    Returns ``used [N]`` (= Σ steps) and ``executed [N]`` row counts.
     """
     steps, depth = _steps_depth_2d(stats)
-    d_exit = np.minimum(depth.max(axis=-1) + 1, max_depth)  # [N]
-    executed = (1 << d_exit.astype(np.int64)) - 1
-    return float(np.mean(steps.mean(axis=-1) / np.maximum(executed, 1)))
+    n, c = depth.shape
+    block_c = min(block_c, c)   # a tile never exceeds the batch
+    pad = (-c) % block_c
+    if pad:
+        depth = np.concatenate([depth, np.full((n, pad), -1, depth.dtype)], 1)
+    tiles = depth.reshape(n, -1, block_c)                     # [N, T, BC]
+    d_exit = np.minimum(tiles.max(axis=-1) + 1, max_depth)    # [N, T]
+    executed = (((1 << np.maximum(d_exit, 0).astype(np.int64)) - 1)
+                * block_c).sum(axis=-1)
+    return steps.sum(axis=-1), np.maximum(executed, 1)
+
+
+def lockstep_utilization(stats: TreeStats, max_depth: int = 10) -> float:
+    """Fraction of executed lockstep leaf-iterations that did useful work
+    when ALL chains run in one lockstep batch (nuts/tree.py: the loop runs
+    every chain until the slowest trajectory terminates) — the telemetry for
+    the straggler economics in docs/DESIGN.md §3.  Aggregation is the mean
+    of per-transition ratios (each transition weighted equally);
+    :func:`tiled_lockstep_utilization` with ``block_c >= n_chains`` is the
+    work-weighted counterpart wall-clock follows.  Both share the tile-exit
+    model in :func:`_used_executed`."""
+    steps, depth = _steps_depth_2d(stats)
+    used, executed = _used_executed(stats, depth.shape[1], max_depth)
+    return float(np.mean(used / executed))
 
 
 def tiled_lockstep_utilization(stats: TreeStats, block_c: int,
                                max_depth: int = 10) -> float:
-    """Lockstep utilization when chains execute in tiles of ``block_c``.
-
-    The whole-tree Pallas kernel (``ops/tree_pallas.py``) runs one grid
-    program per ``block_c`` chains with two early exits: a doubling block is
-    skipped once no row in the tile is still ACTIVE, and leaf iterations stop
-    once every row has died.  A tile therefore executes
-    ``2^(d_exit_tile) - 1`` leaf iterations where ``d_exit_tile`` is the
-    deepest doubling any chain *in that tile* completed — smaller tiles
-    straggle less.  This computes ``used / executed`` from recorded per-chain
-    statistics, which is exact for the doubling-block exit (leaf-level exits
-    inside an un-skipped block make the kernel strictly better than this
-    estimate).  ``block_c >= n_chains`` reproduces
-    :func:`lockstep_utilization` for a single transition; over multiple
-    transitions this is the work-weighted aggregate ``sum(used) /
-    sum(executed)`` while that function averages per-transition ratios, so
-    the two diverge whenever exit depth varies across transitions (the
-    work-weighted form is what wall-clock follows).  Because depth is
-    algorithm-determined (independent of execution path), the curve over
-    ``block_c`` can be measured from ONE recorded run on any backend.
-    """
-    steps, depth = _steps_depth_2d(stats)
-    n, c = depth.shape
-    pad = (-c) % block_c
-    if pad:
-        # padded rows start inactive in the kernel: they add no used steps
-        # and never extend a tile's exit depth
-        depth = np.concatenate([depth, np.full((n, pad), -1, depth.dtype)], 1)
-    tiles = depth.reshape(n, -1, block_c)                     # [N, T, BC]
-    d_exit = np.minimum(tiles.max(axis=-1) + 1, max_depth)    # [N, T]
-    # each tile executes block_c hardware rows regardless of padding, so
-    # padding waste from c % block_c != 0 is (honestly) counted as waste
-    executed = ((1 << np.maximum(d_exit, 0).astype(np.int64)) - 1) * block_c
-    return float(steps.sum() / np.maximum(executed.sum(), 1))
+    """Lockstep utilization when chains execute in tiles of ``block_c``
+    (the whole-tree kernel's execution model) — smaller tiles straggle
+    less.  Work-weighted aggregate ``sum(used) / sum(executed)`` over all
+    transitions (what wall-clock follows), vs
+    :func:`lockstep_utilization`'s mean of per-transition ratios; the two
+    diverge whenever exit depth varies across transitions.  Because depth
+    is algorithm-determined (independent of execution path), the curve over
+    ``block_c`` can be measured from ONE recorded run on any backend."""
+    used, executed = _used_executed(stats, block_c, max_depth)
+    return float(used.sum() / executed.sum())
 
 
 # ---------------------------------------------------------------------------

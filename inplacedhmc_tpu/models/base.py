@@ -23,6 +23,15 @@ class Model:
     ``-inf``/NaN outside the support; the sampler maps non-finite values to
     divergences).  ``constrain`` optionally maps an unconstrained draw to the
     interpretable parameterization for reporting.
+
+    Identity matters for caching: compiled-kernel caches key on the Model
+    (and two Models with textually identical but distinct ``logp`` closures
+    compare unequal — closure equality is undecidable), so long-lived
+    drivers should construct each model ONCE and reuse it.  The zoo's
+    hashable-argument factories (``std_normal``, ``funnel``, ``funnel_nc``,
+    ``eight_schools``) are memoized for exactly this reason; data-carrying
+    factories (``logistic_regression``, ``stoch_vol``) cannot be — hold on
+    to their return value.
     """
 
     name: str

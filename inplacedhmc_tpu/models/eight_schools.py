@@ -6,6 +6,8 @@ Non-centered parameterization (the HMC-friendly form): parameters are
 
 from __future__ import annotations
 
+import functools as _functools
+
 import jax.numpy as jnp
 
 import numpy as _np
@@ -52,6 +54,7 @@ def _tile_data(dim):
     return {"y": y, "sig": sig, "obs_mask": om}
 
 
+@_functools.lru_cache(maxsize=None)
 def eight_schools() -> Model:
     """Canonical priors (Stan's example model): mu ~ N(0, 10^2),
     tau ~ half-Cauchy(0, 5) sampled as log_tau with the +log_tau Jacobian,

@@ -10,6 +10,8 @@ must report (not crash on) via the ``-inf`` sentinel semantics
 
 from __future__ import annotations
 
+import functools as _functools
+
 import jax.numpy as jnp
 
 from .base import Model
@@ -34,6 +36,7 @@ def _make_tile_logp(k: int, scale: float):
 _TILE_CACHE: dict = {}
 
 
+@_functools.lru_cache(maxsize=None)
 def funnel(dim: int = 10, scale: float = 3.0) -> Model:
     k = dim - 1
 
@@ -56,6 +59,7 @@ def funnel(dim: int = 10, scale: float = 3.0) -> Model:
                             "data": {"x_mask": xm}})
 
 
+@_functools.lru_cache(maxsize=None)
 def funnel_nc(dim: int = 10, scale: float = 3.0) -> Model:
     """Non-centered Neal's funnel: ``z ~ N(0, I)`` with
     ``v = scale * z_0``, ``x_i = exp(v/2) * z_i`` — the standard

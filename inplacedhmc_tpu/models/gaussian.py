@@ -10,7 +10,10 @@ import jax.numpy as jnp
 
 from .base import Model
 
+import functools
 
+
+@functools.lru_cache(maxsize=None)
 def std_normal(dim: int = 100) -> Model:
     def logp(q):
         return -0.5 * jnp.sum(q * q)

@@ -58,12 +58,18 @@ class MCMCResult(NamedTuple):
     sample_sketch: Optional[object] = None
 
 
-def _sync_fence(z):
-    """Block until ``z`` is computed by fetching a tiny value.  On the remote
+def value_fence(x):
+    """Block until ``x`` is computed by fetching a tiny value.  On the remote
     TPU tunnel a value fetch is the only reliable fence (``block_until_ready``
     is not), and bounding the dispatch queue to one in-flight multi-second
-    call keeps the remote worker alive."""
-    float(jnp.sum(z.logp))
+    call keeps the remote worker alive.  Accepts an array, a pytree (fences
+    its first leaf), or an ``EvalPoint`` (fences ``logp``) — the single
+    definition of the idiom the drivers and benches share."""
+    x = getattr(x, "logp", x)
+    return float(jnp.sum(jax.tree_util.tree_leaves(x)[0]))
+
+
+_sync_fence = value_fence
 
 
 def _merge_blocks(blocks, z_cur, mom=None):
