@@ -194,18 +194,21 @@ def _update_moments(mom, stage: TuningNUTS, q):
 
 
 def _metric_from_moments(stage: TuningNUTS, mom: StreamMoments,
-                         axis_name: Optional[str]) -> Metric:
+                         axis_name: Optional[str], lam=None) -> Metric:
+    """``lam`` optionally overrides ``stage.lam_value`` as a RUNTIME value so
+    jitted finalizers can be shared across windows that differ only in n
+    (lam defaults to 5/n)."""
+    lam = stage.lam_value if lam is None else lam
     cnt, s1, s2 = mom.cnt, mom.s1, mom.s2
     if axis_name is not None:
         cnt = lax.psum(cnt, axis_name)
         s1 = lax.psum(s1, axis_name)
         s2 = lax.psum(s2, axis_name)
     if stage.metric == "diag":
-        return diag_metric(moments_variance(cnt, s1, s2, stage.lam_value))
+        return diag_metric(moments_variance(cnt, s1, s2, lam))
     if stage.metric == "dense":
-        return dense_metric(moments_cov(cnt, s1, s2, stage.lam_value))
-    return low_rank_metric_from_moments(cnt, s1, s2, stage.lam_value,
-                                        stage.rank)
+        return dense_metric(moments_cov(cnt, s1, s2, lam))
+    return low_rank_metric_from_moments(cnt, s1, s2, lam, stage.rank)
 
 
 
@@ -432,22 +435,26 @@ def run_tuning_chunk(key, potential: Callable, stage: TuningNUTS,
 def finalize_tuning(stage: TuningNUTS, state: WarmupState, z: EvalPoint, da,
                     qs: Optional[jnp.ndarray], pooled: bool = False,
                     axis_name: Optional[str] = None,
-                    mom: Optional[StreamMoments] = None) -> WarmupState:
+                    mom: Optional[StreamMoments] = None,
+                    lam=None) -> WarmupState:
     """Close a tuning window: final eps from the dual-averaging carry and the
     optional metric re-estimate over the window's draws (``warmup.jl:309``) —
-    or, for a streaming stage, from the accumulated moments ``mom``."""
+    or, for a streaming stage, from the accumulated moments ``mom``.
+    ``lam`` optionally overrides ``stage.lam_value`` at runtime (see
+    :func:`_metric_from_moments`)."""
     adapting = isinstance(stage.stepsize_adaptation, DualAveraging)
+    lam_v = stage.lam_value if lam is None else lam
     metric = state.metric
     if stage.stream and stage.metric is not None:
-        metric = _metric_from_moments(stage, mom, axis_name)
+        metric = _metric_from_moments(stage, mom, axis_name, lam=lam_v)
     elif stage.metric == "diag":
-        metric = estimate_diag_metric(qs, stage.lam_value, pooled=pooled,
+        metric = estimate_diag_metric(qs, lam_v, pooled=pooled,
                                       axis_name=axis_name)
     elif stage.metric == "dense":
-        metric = estimate_dense_metric(qs, stage.lam_value, pooled=pooled,
+        metric = estimate_dense_metric(qs, lam_v, pooled=pooled,
                                        axis_name=axis_name)
     elif stage.metric == "low_rank":
-        metric = estimate_low_rank_metric(qs, stage.lam_value, stage.rank,
+        metric = estimate_low_rank_metric(qs, lam_v, stage.rank,
                                           axis_name=axis_name)
     log_eps = jnp.log(da_final_eps(da)) if adapting else state.log_eps
     return WarmupState(z=z, metric=metric, log_eps=log_eps)

@@ -93,7 +93,14 @@ def dense_metric(inv: jnp.ndarray) -> DenseMetric:
 
 
 def kinetic_energy(metric: Metric, p: jnp.ndarray) -> jnp.ndarray:
-    """``K(p) = ½ pᵀ M⁻¹ p`` (``kinetic_energy.jl:14-24``).  ``p``: [C, D] → [C]."""
+    """``K(p) = ½ pᵀ M⁻¹ p`` (``kinetic_energy.jl:14-24``).  ``p``: [C, D] → [C].
+
+    The dense product runs at explicit ``HIGH`` (3-pass bf16, f32-grade):
+    K is a STATIONARITY surface — it sets the multinomial weights and must
+    match the momentum-refresh distribution — so a 1-pass product's ~0.05-nat
+    deterministic error is not acceptable, while the global f32 default's
+    6-pass product doubles the per-leaf MXU cost for ~1e-6-nat gains
+    (docs/DESIGN.md #13/#14)."""
     if isinstance(metric, DiagMetric):
         return 0.5 * jnp.sum(p * metric.inv * p, axis=-1)
     if isinstance(metric, LowRankMetric):
@@ -101,22 +108,34 @@ def kinetic_energy(metric: Metric, p: jnp.ndarray) -> jnp.ndarray:
         yu = y @ metric.u
         return 0.5 * (jnp.sum(y * y, axis=-1)
                       + jnp.sum(metric.w * yu * yu, axis=-1))
-    return 0.5 * jnp.einsum("...i,...ij,...j->...", p, metric.inv, p)
+    return 0.5 * jnp.einsum("...i,...ij,...j->...", p, metric.inv, p,
+                            precision=jax.lax.Precision.HIGH)
 
 
 def psharp(metric: Metric, p: jnp.ndarray) -> jnp.ndarray:
-    """``p♯ = M⁻¹ p`` used by the U-turn diagnostic (``kinetic_energy.jl:31-46``)."""
+    """``p♯ = M⁻¹ p``: the integrator's q-update and the U-turn diagnostic
+    (``kinetic_energy.jl:31-46``).  Dense/low-rank products run at explicit
+    1-pass bf16 (``DEFAULT``): exactness-preserving per the #13 policy — the
+    q-update is a reversible volume-preserving shear for any deterministic
+    odd map, and termination is diagnostic-only — while the global f32
+    default would issue SIX passes per leaf (measured 6x the dense
+    transition wall at 10240 x 1002, DESIGN #14)."""
+    prec = jax.lax.Precision.DEFAULT
     if isinstance(metric, DiagMetric):
         return metric.inv * p
     if isinstance(metric, LowRankMetric):
         s = jnp.sqrt(metric.diag_inv)
         y = p * s
-        return (y + ((y @ metric.u) * metric.w) @ metric.u.T) * s
-    return jnp.einsum("...ij,...j->...i", metric.inv, p)
+        return (y + jnp.matmul((y @ metric.u) * metric.w, metric.u.T,
+                               precision=prec)) * s
+    return jnp.einsum("...ij,...j->...i", metric.inv, p, precision=prec)
 
 
 def sample_momentum(metric: Metric, key, shape, dtype) -> jnp.ndarray:
-    """Draw ``p ~ N(0, M)`` (``kinetic_energy.jl:58-64``).  ``shape``: [C, D]."""
+    """Draw ``p ~ N(0, M)`` (``kinetic_energy.jl:58-64``).  ``shape``: [C, D].
+    The dense Cholesky application runs at explicit ``HIGHEST``: the refresh
+    distribution must match ``exp(-K)`` (once per transition — negligible
+    cost next to the per-leaf products)."""
     xi = jax.random.normal(key, shape, dtype)
     if isinstance(metric, DiagMetric):
         return metric.sqrt_mass * xi
@@ -124,7 +143,8 @@ def sample_momentum(metric: Metric, key, shape, dtype) -> jnp.ndarray:
         a = 1.0 / jnp.sqrt(1.0 + metric.w) - 1.0
         return (xi + ((xi @ metric.u) * a) @ metric.u.T) \
             / jnp.sqrt(metric.diag_inv)
-    return jnp.einsum("...ij,...j->...i", metric.mass_chol, xi)
+    return jnp.einsum("...ij,...j->...i", metric.mass_chol, xi,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def regularized_variance(draws: jnp.ndarray, lam, pooled: bool = False,

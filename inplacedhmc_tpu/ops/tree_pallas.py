@@ -179,14 +179,48 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
         if dense:
             minv_mat = minv_ref[:]  # [dpad, dpad]
 
+            # Integrator q-update and U-turn statistics: 1-pass bf16
+            # EXPLICITLY (the package-wide f32 default would make this a
+            # 6-pass product PER LEAF — measured 6x the transition wall at
+            # the 10240 x 1002 dense operating point, past the remote
+            # runtime's execution kill threshold, DESIGN #8/#14).
+            # Exactness-preserving per the #13 policy: the q-update stays a
+            # reversible volume-preserving shear for ANY deterministic
+            # odd map (bf16 matmul negates exactly), and termination is
+            # diagnostic-only.
             def psharp(p):
                 return jnp.dot(p, minv_mat,
+                               precision=jax.lax.Precision.DEFAULT,
                                preferred_element_type=jnp.float32)
+
+            # Kinetic energy is a STATIONARITY surface (it sets the
+            # multinomial weights and must match the momentum-refresh
+            # distribution): f32-grade via the classic 3-pass split-bf16
+            # (Mosaic rejects Precision.HIGH; same trick as the logistic
+            # forward, logistic_pallas._dot3) — error ~2^-17 relative,
+            # ~1e-6 of K at D~1e3, vs ~0.05 nats for a 1-pass product.
+            m_hi = minv_mat.astype(jnp.bfloat16)
+            m_lo = (minv_mat - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def kinetic(p):
+                prec = jax.lax.Precision.DEFAULT
+                p_hi = p.astype(jnp.bfloat16)
+                p_lo = (p - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                mv = jnp.dot(p_hi, m_hi, precision=prec,
+                             preferred_element_type=jnp.float32)
+                mv += jnp.dot(p_lo, m_hi, precision=prec,
+                              preferred_element_type=jnp.float32)
+                mv += jnp.dot(p_hi, m_lo, precision=prec,
+                              preferred_element_type=jnp.float32)
+                return 0.5 * jnp.sum(p * mv, axis=1, keepdims=True)
         else:
             minv = minv_ref[0:1, :]
 
             def psharp(p):
                 return minv * p
+
+            def kinetic(p):
+                return 0.5 * jnp.sum(p * minv * p, axis=1, keepdims=True)
 
         neg_inf = jnp.float32(-jnp.inf)
         zf = jnp.zeros((bc, 1), jnp.float32)
@@ -224,7 +258,7 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 logp_new, g_new = physics(q_new, data_refs)
                 p_new = p_mid + half * g_new
                 ps_new = psharp(p_new)
-                kin_new = 0.5 * jnp.sum(p_new * ps_new, axis=1, keepdims=True)
+                kin_new = kinetic(p_new)
                 # ANY non-finite joint density maps to -inf (= recorded
                 # divergence) — the exact guard structure of the XLA tree
                 # (nuts/tree.py:264-267) and kinetic_energy.jl:107-112.  An
@@ -479,8 +513,11 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 xi = _gauss_from_bits((bc, dpad))
                 if dense:
                     # p0 = xi @ chol(M)^T — scale ref holds the transposed
-                    # Cholesky padded with zero dead lanes, so p0 is 0 there
+                    # Cholesky padded with zero dead lanes, so p0 is 0
+                    # there.  HIGHEST: the refresh distribution must match
+                    # exp(-K) (once per transition — cost is negligible)
                     p0 = jnp.dot(xi, p0_ref[:],
+                                 precision=jax.lax.Precision.HIGHEST,
                                  preferred_element_type=jnp.float32)
                 else:
                     p0 = p0_ref[0:1, :] * xi   # sqrt-mass row, 0 on dead lanes
@@ -492,8 +529,8 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
 
             logp0, g0 = physics(q0, data_refs)
             ps0 = psharp(p0)
-            kin0 = 0.5 * jnp.sum(p0 * ps0, axis=1, keepdims=True)
-            pi0 = logp0 - kin0
+            kin0 = kinetic(p0)   # same f32-grade K as every leaf (PI0 must
+            pi0 = logp0 - kin0   # be measured with the leaves' energy fn)
 
             # trajectory init: the single initial leaf.  Only the frontier's
             # gradient is stored (cur_g); endpoint/proposal grads are

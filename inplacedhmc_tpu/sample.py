@@ -461,7 +461,15 @@ class NUTSKernel:
         return self._jit_cache[key]
 
     def _tuning_chunk_fn(self, stage: TuningNUTS, n: int):
-        key = ("tuning_chunk", stage, n)
+        # keyed by what the chunk program actually depends on — NOT the whole
+        # stage: neither stage.n nor stage.lam_value appears inside a chunk
+        # (metric estimation lives in finalize_tuning), so every window of
+        # the schedule shares one executable per chunk length.  The default
+        # 75+(25..400)+50 schedule then compiles 2-3 chunk programs total
+        # instead of 2 per window — and each avoided compile is one fewer
+        # chance for the remote compile helper to fall over mid-warmup.
+        key = ("tuning_chunk", stage.stepsize_adaptation, stage.metric,
+               bool(stage.stream), stage.rank, n)
         if key not in self._jit_cache:
             f = functools.partial(W.run_tuning_chunk, potential=self.potential,
                                   stage=stage, algorithm=self.algorithm, n=n,
@@ -475,14 +483,27 @@ class NUTSKernel:
         return self._jit_cache[key]
 
     def _finalize_tuning_fn(self, stage: TuningNUTS):
-        key = ("finalize_tuning", stage)
+        # lam is a RUNTIME argument so windows differing only in n (lam
+        # defaults to 5/n) share one finalizer executable (see
+        # _tuning_chunk_fn); the da carry's pytree structure differs between
+        # adapting and fixed-eps stages, hence stepsize_adaptation in the key
+        key = ("finalize_tuning", stage.stepsize_adaptation, stage.metric,
+               bool(stage.stream), stage.rank)
         if key not in self._jit_cache:
             f = functools.partial(W.finalize_tuning, stage=stage,
                                   pooled=self.pooled, axis_name=self.axis_name)
             self._jit_cache[key] = jax.jit(
-                lambda state, z, da, qs, mom: f(state=state, z=z, da=da,
-                                                qs=qs, mom=mom))
-        return self._jit_cache[key]
+                lambda state, z, da, qs, mom, lam: f(
+                    state=state, z=z, da=da, qs=qs, mom=mom, lam=lam))
+        jitted = self._jit_cache[key]
+
+        def call(state, z, da, qs, mom, _f=jitted, _stage=stage):
+            return _f(state, z, da, qs, mom,
+                      jnp.asarray(_stage.lam_value, state.z.q.dtype))
+
+        call._jitted = jitted   # precompile() lowers through this
+        call._lam = stage.lam_value
+        return call
 
     def _search_fn(self, stage: InitialStepsizeSearch):
         key = ("search", stage)
@@ -583,9 +604,10 @@ class NUTSKernel:
                     stream = bool(stage.stream and stage.metric is not None)
                     qs = (None if stream else
                           jnp.zeros((stage.n,) + state.z.q.shape, dtype))
-                    compiled.append(
-                        self._finalize_tuning_fn(stage)
-                        .lower(state, state.z, da, qs, mom).compile())
+                    fin = self._finalize_tuning_fn(stage)
+                    compiled.append(fin._jitted.lower(
+                        state, state.z, da, qs, mom,
+                        jnp.asarray(fin._lam, dtype)).compile())
         # sampling executables: whole-run or per-block (+ remainder), with the
         # streaming-moment carry when requested
         blocks = {n_draws} if (draw_block is None or draw_block >= n_draws) \
