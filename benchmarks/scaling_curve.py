@@ -126,9 +126,19 @@ def main():
         env = dict(os.environ,
                    XLA_FLAGS=f"--xla_force_host_platform_device_count={nd}",
                    JAX_PLATFORMS="cpu")
-        out = subprocess.run([sys.executable, "-c", code], env=env,
-                             capture_output=True, text=True, timeout=3600)
-        if out.returncode != 0:
+        # XLA CPU's cross-device collectives carry a stuck-participant
+        # watchdog that can fire spuriously under transient host contention
+        # (observed: AllGather AwaitAndLogIfStuck crash on a run that passes
+        # standalone) — retry the arm before declaring failure
+        for attempt in range(3):
+            out = subprocess.run([sys.executable, "-c", code], env=env,
+                                 capture_output=True, text=True, timeout=3600)
+            if out.returncode == 0:
+                break
+            print(f"worker nd={nd} attempt {attempt + 1} failed "
+                  f"(retrying): {out.stderr.strip().splitlines()[-1][:120]}",
+                  file=sys.stderr, flush=True)
+        else:
             print(out.stderr[-2000:], file=sys.stderr)
             raise SystemExit(f"worker nd={nd} failed")
         rec = json.loads(out.stdout.strip().splitlines()[-1])

@@ -53,6 +53,11 @@ def main():
                          "ensemble (e.g. pilot positions tiled across "
                          "chains) before R-hat bookkeeping begins")
     ap.add_argument("--hook-every", type=int, default=2)
+    ap.add_argument("--asis", default="per_coord",
+                    choices=["per_coord", "joint", "none"],
+                    help="ASIS arm: per-coordinate MH (default), joint "
+                         "proposal, or no hook — the 10k-scale A/B the "
+                         "round-3 per-coordinate design decision rests on")
     ap.add_argument("--n-keep", type=int, default=10,
                     help="leading coordinates recorded for ESS")
     ap.add_argument("--seed", type=int, default=23)
@@ -76,10 +81,16 @@ def main():
     wstate, _, _ = load_warmup_checkpoint(
         os.path.join(args.warmup_dir or args.from_dir, "warmup.npz"))
     resumed = load_lean_checkpoint(os.path.join(args.from_dir, "sample.npz"))
-    assert resumed is not None, f"no sample checkpoint in {args.from_dir}"
-    z = jax.tree_util.tree_map(jnp.asarray, resumed[0])
+    if resumed is not None:
+        z = jax.tree_util.tree_map(jnp.asarray, resumed[0])
+        src = "sample checkpoint"
+    else:
+        # fresh-warmup start (round-5 headline: NO continuation/pilot
+        # dependency — the ensemble is the warmup's own final state)
+        z = wstate.z
+        src = "warmup state (fresh, no continuation)"
     state = WarmupState(z=z, metric=wstate.metric, log_eps=wstate.log_eps)
-    print(f"resuming from {args.from_dir}: z {z.q.shape}, "
+    print(f"starting from {args.from_dir} ({src}): z {z.q.shape}, "
           f"eps {float(jnp.exp(jnp.atleast_1d(state.log_eps))[0]):.4g}",
           flush=True)
 
@@ -88,7 +99,11 @@ def main():
     kd = tuple(range(args.n_keep))
     kern = _kernel(model, NUTS(), True, None)          # hook-free programs
     nuts_block = kern._sampling_fn(K, 1, kd, True, args.transitions)
-    hook = jax.jit(make_asis_hook(returns, per_coord=True))
+    if args.asis == "none":
+        hook = jax.jit(lambda k, z: z)
+    else:
+        hook = jax.jit(make_asis_hook(
+            returns, per_coord=args.asis == "per_coord"))
 
     os.makedirs(args.out_dir, exist_ok=True)
     draws = np.empty((args.transitions, args.chains, args.n_keep), np.float32)
@@ -153,8 +168,9 @@ def main():
     out = {
         "t": args.t, "chains": args.chains, "transitions": args.transitions,
         "thin": 1, "metric": "dense", "delta": 0.9, "stream": True,
-        "continuation_of": args.from_dir,
-        "asis": "per_coord", "asis_hook_every": K, "burn": args.burn,
+        ("continuation_of" if resumed is not None else "fresh_warmup"):
+            args.from_dir,
+        "asis": args.asis, "asis_hook_every": K, "burn": args.burn,
         "wall_s": round(wall, 1),
         "rhat_max": round(float(rhat.max()), 4),
         "rhat_phi": round(float(rhat[0]), 4),
