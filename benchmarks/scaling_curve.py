@@ -16,13 +16,24 @@ sampling loop) — is measured here directly, three ways:
    not replicated) and (b) the sampling program contains ZERO cross-device
    collectives (pooled adaptation collectives belong to warmup only — their
    count is reported for context).
-2. **Fixed-total-work overhead curve**: total chains held constant while the
-   mesh grows; total host work is then constant, so ``wall(nd)/wall(1)``
-   measures pure partitioning overhead (ideal = 1.0 at every nd, and any
-   GSPMD serialization/replication would show as growth).
+2. **Fixed-total-work curve**: total chains held constant while the mesh
+   grows.  XLA CPU executes one device's program on ~one core for this
+   workload, so the ideal wall HALVES per mesh doubling until nd reaches
+   the core count, then flattens; monotone-decreasing-then-flat certifies
+   that partitioning adds no serialization, while a pathological dip (the
+   round-2 artifact) would show as wall GROWTH past the core cap.
 3. **Weak-scaling curve** (context, core-capped): chains-per-device fixed;
    ideal speedup on this host is ``min(nd, n_cores)``, and the curve is
    judged against that, not against nd.
+
+Measured finding the audit surfaces (kept in the JSON): the GSPMD-sharded
+XLA-tree sampling program carries THREE all-reduces — the lockstep
+while-loops' global any-active termination predicates.  They are 1-element
+reductions, but they execute per loop iteration, i.e. per tree level; on a
+multi-host mesh that is a latency-bound sync in the hot loop.  The
+whole-tree Pallas path avoids them by construction (shard_map: each device
+loops over its local chains and exits independently) — one more reason the
+kernel path is the production configuration at scale.
 
 Usage: python benchmarks/scaling_curve.py [--chains-per-dev 256] [--draws 256]
 Writes benchmarks/scaling_results.json.
