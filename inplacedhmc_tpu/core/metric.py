@@ -114,13 +114,16 @@ def kinetic_energy(metric: Metric, p: jnp.ndarray) -> jnp.ndarray:
 
 def psharp(metric: Metric, p: jnp.ndarray) -> jnp.ndarray:
     """``p♯ = M⁻¹ p``: the integrator's q-update and the U-turn diagnostic
-    (``kinetic_energy.jl:31-46``).  Dense/low-rank products run at explicit
-    1-pass bf16 (``DEFAULT``): exactness-preserving per the #13 policy — the
-    q-update is a reversible volume-preserving shear for any deterministic
-    odd map, and termination is diagnostic-only — while the global f32
-    default would issue SIX passes per leaf (measured 6x the dense
-    transition wall at 10240 x 1002, DESIGN #14)."""
-    prec = jax.lax.Precision.DEFAULT
+    (``kinetic_energy.jl:31-46``).  The dense product runs at explicit
+    ``HIGH`` (3-pass bf16, f32-grade): any deterministic odd map preserves
+    EXACTNESS (reversible volume-preserving shear), but a 1-pass product's
+    error is ~1e-2 ABSOLUTE in units of the matvec's largest components —
+    under an ill-conditioned metric (a mid-warmup transient estimate
+    reaches cond ~1e3) that error lands O(1)-relative on the STIFF
+    coordinates and craters acceptance (measured: DA collapse to eps ~5e-4
+    in the first dense window at 10240 x 1002, DESIGN #14).  3 passes
+    restore f32-grade at half the global f32 default's 6-pass cost."""
+    prec = jax.lax.Precision.HIGH
     if isinstance(metric, DiagMetric):
         return metric.inv * p
     if isinstance(metric, LowRankMetric):

@@ -179,30 +179,26 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
         if dense:
             minv_mat = minv_ref[:]  # [dpad, dpad]
 
-            # Integrator q-update and U-turn statistics: 1-pass bf16
-            # EXPLICITLY (the package-wide f32 default would make this a
-            # 6-pass product PER LEAF — measured 6x the transition wall at
-            # the 10240 x 1002 dense operating point, past the remote
-            # runtime's execution kill threshold, DESIGN #8/#14).
-            # Exactness-preserving per the #13 policy: the q-update stays a
-            # reversible volume-preserving shear for ANY deterministic
-            # odd map (bf16 matmul negates exactly), and termination is
-            # diagnostic-only.
-            def psharp(p):
-                return jnp.dot(p, minv_mat,
-                               precision=jax.lax.Precision.DEFAULT,
-                               preferred_element_type=jnp.float32)
-
-            # Kinetic energy is a STATIONARITY surface (it sets the
-            # multinomial weights and must match the momentum-refresh
-            # distribution): f32-grade via the classic 3-pass split-bf16
-            # (Mosaic rejects Precision.HIGH; same trick as the logistic
-            # forward, logistic_pallas._dot3) — error ~2^-17 relative,
-            # ~1e-6 of K at D~1e3, vs ~0.05 nats for a 1-pass product.
+            # Per-leaf dense products, by exactness class (DESIGN #13/#14;
+            # the package-wide f32 default would issue SIX passes each):
+            #
+            # * q-update + kinetic energy: f32-grade via the classic 3-pass
+            #   split-bf16 (Mosaic rejects Precision.HIGH).  The q-update
+            #   stays EXACT for any deterministic odd map, but a 1-pass
+            #   product's ~1e-2 error is ABSOLUTE in units of the matvec's
+            #   largest components — under an ill-conditioned mid-warmup
+            #   metric (cond ~1e3) that lands O(1)-relative on the stiff
+            #   coordinates and craters acceptance (measured: DA collapse
+            #   to eps ~5e-4 in the first dense window at 10240 x 1002).
+            #   K sets the multinomial weights and must match the refresh
+            #   distribution — f32-grade by the same product.
+            # * U-turn statistic: 1-pass bf16 — any deterministic
+            #   termination criterion is valid, and the statistic compares
+            #   same-scale dot products (no stiff-coordinate leakage).
             m_hi = minv_mat.astype(jnp.bfloat16)
             m_lo = (minv_mat - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-            def kinetic(p):
+            def matvec3(p):
                 prec = jax.lax.Precision.DEFAULT
                 p_hi = p.astype(jnp.bfloat16)
                 p_lo = (p - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -212,12 +208,24 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                               preferred_element_type=jnp.float32)
                 mv += jnp.dot(p_hi, m_lo, precision=prec,
                               preferred_element_type=jnp.float32)
-                return 0.5 * jnp.sum(p * mv, axis=1, keepdims=True)
+                return mv
+
+            psharp_move = matvec3
+
+            def psharp(p):   # turn statistic only
+                return jnp.dot(p, minv_mat,
+                               precision=jax.lax.Precision.DEFAULT,
+                               preferred_element_type=jnp.float32)
+
+            def kinetic(p):
+                return 0.5 * jnp.sum(p * matvec3(p), axis=1, keepdims=True)
         else:
             minv = minv_ref[0:1, :]
 
             def psharp(p):
                 return minv * p
+
+            psharp_move = psharp
 
             def kinetic(p):
                 return 0.5 * jnp.sum(p * minv * p, axis=1, keepdims=True)
@@ -254,7 +262,7 @@ def _make_kernel(bc: int, dpad: int, max_depth: int, min_delta: float,
                 q = cur_q[:]; p = cur_p[:]; g = cur_g[:]
                 half = 0.5 * eps_signed
                 p_mid = p + half * g
-                q_new = q + eps_signed * psharp(p_mid)
+                q_new = q + eps_signed * psharp_move(p_mid)
                 logp_new, g_new = physics(q_new, data_refs)
                 p_new = p_mid + half * g_new
                 ps_new = psharp(p_new)
