@@ -106,17 +106,58 @@ def main():
             returns, per_coord=args.asis == "per_coord"))
 
     os.makedirs(args.out_dir, exist_ok=True)
-    draws = np.empty((args.transitions, args.chains, args.n_keep), np.float32)
-    acc_sum = 0.0
-    depth_sum = 0.0
-    div_sum = 0
-    steps_sum = 0
+    draws_path = os.path.join(args.out_dir, "draws.npy")
+    ck_path = os.path.join(args.out_dir, "split_state.npz")
+    shape = (args.transitions, args.chains, args.n_keep)
+    from inplacedhmc_tpu.adapt.warmup import SplitMoments
+    from inplacedhmc_tpu.core.hamiltonian import evaluate
+
+    # ---- resumable progress (the tunnel worker crashes under sustained
+    # load; every block is cheap to redo, the run is not) ----------------
+    acc_sum = depth_sum = 0.0
+    div_sum = steps_sum = 0
+    burn_done = 0
+    i0 = 0
     mom = None
     key = jax.random.PRNGKey(args.seed)
-    z_cur = state.z
+    if os.path.exists(ck_path) and os.path.exists(draws_path):
+        ck = np.load(ck_path)
+        draws = np.lib.format.open_memmap(draws_path, mode="r+")
+        assert draws.shape == shape, (draws.shape, shape)
+        z_cur = evaluate(kern.potential, jnp.asarray(ck["q"]))
+        key = jnp.asarray(ck["key"])
+        burn_done, i0 = int(ck["burn_b"]), int(ck["i"])
+        acc_sum, depth_sum = float(ck["acc_sum"]), float(ck["depth_sum"])
+        div_sum, steps_sum = int(ck["div_sum"]), int(ck["steps_sum"])
+        if bool(ck["has_mom"]):
+            mom = SplitMoments(qref=jnp.asarray(ck["m_qref"]),
+                               cnt=jnp.asarray(ck["m_cnt"]),
+                               s1=jnp.asarray(ck["m_s1"]),
+                               s2=jnp.asarray(ck["m_s2"]))
+        print(f"[split] resumed: burn {burn_done * K}/{args.burn}, "
+              f"block {i0}/{n_blocks}", flush=True)
+    else:
+        draws = np.lib.format.open_memmap(draws_path, mode="w+",
+                                          dtype=np.float32, shape=shape)
+        z_cur = state.z
+
+    def save_ck(burn_b, i):
+        tmp = ck_path + ".tmp.npz"
+        payload = dict(q=np.asarray(z_cur.q), key=np.asarray(key),
+                       burn_b=burn_b, i=i, acc_sum=acc_sum,
+                       depth_sum=depth_sum, div_sum=div_sum,
+                       steps_sum=steps_sum, has_mom=mom is not None)
+        if mom is not None:
+            payload.update(m_qref=np.asarray(mom.qref),
+                           m_cnt=np.asarray(mom.cnt),
+                           m_s1=np.asarray(mom.s1), m_s2=np.asarray(mom.s2))
+        np.savez(tmp, **payload)
+        draws.flush()
+        os.replace(tmp, ck_path)
+
     t0 = time.perf_counter()
     last_ck = t0
-    for b in range(args.burn // K):
+    for b in range(burn_done, args.burn // K):
         key, k_nuts, k_hook = jax.random.split(key, 3)
         blk = nuts_block(k_nuts, state._replace(z=z_cur), None, 0)
         z_cur = hook(k_hook, blk.z)
@@ -126,11 +167,14 @@ def main():
         float(jnp.sum(z_cur.logp))
         if (b + 1) % args.progress_every == 0:
             print(f"[split] burn {(b + 1) * K}/{args.burn}", flush=True)
+        if time.perf_counter() - last_ck > args.checkpoint_every_s:
+            save_ck(b + 1, 0)
+            last_ck = time.perf_counter()
     if args.burn:
         print(f"[split] burn-in done ({args.burn} transitions, "
               f"{time.perf_counter() - t0:.0f}s)", flush=True)
         t0 = time.perf_counter()
-    for i in range(n_blocks):
+    for i in range(i0, n_blocks):
         key, k_nuts, k_hook = jax.random.split(key, 3)
         blk = nuts_block(k_nuts, state._replace(z=z_cur), mom, i * K)
         mom = blk.moments
@@ -144,15 +188,14 @@ def main():
         div_sum += int(jnp.sum((st.termination == Termination.DIVERGENCE)
                                .astype(jnp.int32)))
         if (i + 1) % args.progress_every == 0:
-            done = (i + 1) * K
+            done = (i + 1 - i0) * K
             rate = done / (time.perf_counter() - t0)
-            print(f"[split] {done}/{args.transitions} transitions "
-                  f"({rate:.2f}/s, ETA {(args.transitions - done) / rate:.0f}s)",
+            print(f"[split] {(i + 1) * K}/{args.transitions} transitions "
+                  f"({rate:.2f}/s, ETA "
+                  f"{(args.transitions - (i + 1) * K) / rate:.0f}s)",
                   flush=True)
         if time.perf_counter() - last_ck > args.checkpoint_every_s:
-            np.savez(os.path.join(args.out_dir, "split_state.npz"),
-                     q=np.asarray(z_cur.q), i=i + 1,
-                     key=np.asarray(key))
+            save_ck(args.burn // K, i + 1)
             last_ck = time.perf_counter()
     wall = time.perf_counter() - t0
 
