@@ -81,9 +81,19 @@ def main():
     wstate, _, _ = load_warmup_checkpoint(
         os.path.join(args.warmup_dir or args.from_dir, "warmup.npz"))
     resumed = load_lean_checkpoint(os.path.join(args.from_dir, "sample.npz"))
+    split_prev = os.path.join(args.from_dir, "split_state.npz")
     if resumed is not None:
         z = jax.tree_util.tree_map(jnp.asarray, resumed[0])
         src = "sample checkpoint"
+    elif os.path.exists(split_prev) and args.from_dir != args.out_dir:
+        # chain from a finished split run's end state (e.g. the A/B arms
+        # both starting from the headline's well-equilibrated ensemble)
+        from inplacedhmc_tpu.core.hamiltonian import (
+            batched_logdensity_and_grad, evaluate)
+        prev = np.load(split_prev)
+        z = evaluate(batched_logdensity_and_grad(model.logp),
+                     jnp.asarray(prev["q"]))
+        src = "previous split run's end state"
     else:
         # fresh-warmup start (round-5 headline: NO continuation/pilot
         # dependency — the ensemble is the warmup's own final state)
