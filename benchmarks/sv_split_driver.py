@@ -184,19 +184,31 @@ def main():
         print(f"[split] burn-in done ({args.burn} transitions, "
               f"{time.perf_counter() - t0:.0f}s)", flush=True)
         t0 = time.perf_counter()
+    from inplacedhmc_tpu.core.state import Termination
+
+    @jax.jit
+    def stat_vec(st):
+        # ONE small fetch per block instead of four: each host value fetch
+        # is a full tunnel round trip (~0.1-0.2 s), and at 2 transitions
+        # per block the per-block fetch tax dominates the sampling rate
+        return jnp.stack([
+            jnp.sum(st.acceptance_rate),
+            jnp.sum(st.depth.astype(jnp.float32)),
+            jnp.sum(st.steps.astype(jnp.int32)).astype(jnp.float32),
+            jnp.sum((st.termination == Termination.DIVERGENCE)
+                    .astype(jnp.int32)).astype(jnp.float32)])
+
     for i in range(i0, n_blocks):
         key, k_nuts, k_hook = jax.random.split(key, 3)
         blk = nuts_block(k_nuts, state._replace(z=z_cur), mom, i * K)
         mom = blk.moments
         z_cur = hook(k_hook, blk.z)
         draws[i * K:(i + 1) * K] = np.asarray(blk.draws)
-        st = blk.stats
-        acc_sum += float(jnp.sum(st.acceptance_rate))
-        depth_sum += float(jnp.sum(st.depth))
-        steps_sum += int(jnp.sum(st.steps.astype(jnp.int64)))
-        from inplacedhmc_tpu.core.state import Termination
-        div_sum += int(jnp.sum((st.termination == Termination.DIVERGENCE)
-                               .astype(jnp.int32)))
+        sv = np.asarray(stat_vec(blk.stats), np.float64)
+        acc_sum += float(sv[0])
+        depth_sum += float(sv[1])
+        steps_sum += int(sv[2])
+        div_sum += int(sv[3])
         if (i + 1) % args.progress_every == 0:
             done = (i + 1 - i0) * K
             rate = done / (time.perf_counter() - t0)
