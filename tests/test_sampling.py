@@ -544,3 +544,25 @@ def test_warmup_chunk_hook_dispatch_level():
                           chunk_hook=lambda k, z: W.evaluate(
                               kern.potential, z.q + 1e-3))
     assert not np.allclose(np.asarray(out.z.q), np.asarray(out2.z.q))
+
+
+def test_funnel_nc_matches_centered_marginals():
+    """The non-centered funnel's constrained draws must reproduce the
+    centered funnel's analytic marginals: v ~ N(0, 3^2) exactly (v = 3 z_0
+    with z ~ N(0,I) posterior), x_i | v ~ N(0, e^v)."""
+    from inplacedhmc_tpu.models import funnel_nc
+
+    model = funnel_nc(5)
+    res = mcmc_with_warmup(jax.random.PRNGKey(3), model, 800, 32,
+                           use_pallas="off")
+    post = model.constrain(res.draws)
+    v = np.asarray(post["v"]).ravel()
+    x = np.asarray(post["x"])
+    assert abs(v.std() - 3.0) < 0.25, v.std()
+    assert abs(v.mean()) < 0.4
+    # conditional scale: x / e^{v/2} is standard normal
+    z = x / np.exp(0.5 * np.asarray(post["v"]))[..., None]
+    assert abs(z.std() - 1.0) < 0.1
+    # the unconstrained chain must be iid-normal-grade mixed
+    rhat = np.asarray(diag.split_rhat(res.draws))
+    assert rhat.max() < 1.02, rhat.max()
