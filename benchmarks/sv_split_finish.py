@@ -16,6 +16,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+# host-side analysis only — never touch the (possibly busy) TPU tunnel;
+# the container pre-registers the axon backend before env vars can apply,
+# so the platform must be forced on the live config
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,6 +34,8 @@ def main():
     ap.add_argument("--wall-s", type=float, default=None,
                     help="sampling wall seconds (from the driver log) for "
                          "the ess/s field; omitted -> null")
+    ap.add_argument("--rhat-only", action="store_true",
+                    help="skip the CPU-heavy ESS pass (mid-run peeks)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -44,6 +53,17 @@ def main():
                        cnt=jnp.asarray(ck["m_cnt"]),
                        s1=jnp.asarray(ck["m_s1"]), s2=jnp.asarray(ck["m_s2"]))
     rhat = np.asarray(diag.split_rhat_from_moments(mom))
+    if args.rhat_only:
+        # the streamed split-moments cover fixed global halves, so they are
+        # NaN until the run crosses its midpoint — peek from the kept-coord
+        # draws instead (exact split-rhat over phi, log_s, h1..)
+        dk = jnp.asarray(np.asarray(draws[:done_t]))
+        rk = np.asarray(diag.split_rhat(dk))
+        print(json.dumps({"transitions": done_t,
+                          "rhat_kept_max": round(float(rk.max()), 4),
+                          "rhat_phi": round(float(rk[0]), 4),
+                          "rhat_logs": round(float(rk[1]), 4)}))
+        return
     d = jnp.asarray(np.asarray(draws[:done_t]))
 
     def chunked(fn, x, bs=4):
