@@ -58,6 +58,12 @@ def main():
                     help="ASIS arm: per-coordinate MH (default), joint "
                          "proposal, or no hook — the 10k-scale A/B the "
                          "round-3 per-coordinate design decision rests on")
+    ap.add_argument("--hook-steps", type=int, default=3,
+                    help="MH sub-steps per hook invocation; tau_theta in "
+                         "transition units scales ~1/(sub-steps per "
+                         "transition) until the NUTS h-refresh becomes "
+                         "binding, and split-Rhat's floor is ~1 + tau/N — "
+                         "more sub-steps buy rhat convergence directly")
     ap.add_argument("--n-keep", type=int, default=10,
                     help="leading coordinates recorded for ESS")
     ap.add_argument("--seed", type=int, default=23)
@@ -113,7 +119,8 @@ def main():
         hook = jax.jit(lambda k, z: z)
     else:
         hook = jax.jit(make_asis_hook(
-            returns, per_coord=args.asis == "per_coord"))
+            returns, per_coord=args.asis == "per_coord",
+            n_steps=args.hook_steps))
 
     os.makedirs(args.out_dir, exist_ok=True)
     draws_path = os.path.join(args.out_dir, "draws.npy")
@@ -235,7 +242,8 @@ def main():
         "thin": 1, "metric": "dense", "delta": 0.9, "stream": True,
         ("continuation_of" if resumed is not None else "fresh_warmup"):
             args.from_dir,
-        "asis": args.asis, "asis_hook_every": K, "burn": args.burn,
+        "asis": args.asis, "asis_hook_every": K,
+        "asis_hook_steps": args.hook_steps, "burn": args.burn,
         "wall_s": round(wall, 1),
         "rhat_max": round(float(rhat.max()), 4),
         "rhat_phi": round(float(rhat[0]), 4),
