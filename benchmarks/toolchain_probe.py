@@ -94,6 +94,11 @@ def main():
     ap.add_argument("--timeout", type=int, default=1200)
     ap.add_argument("--full", action="store_true",
                     help="probe the full n_sweep x block_c matrix")
+    ap.add_argument("--controls-only", action="store_true",
+                    help="run only the positive controls; record the wedge "
+                         "probes as not_attempted (the wedge builds can "
+                         "take the shared worker down — skip them when "
+                         "other jobs need it)")
     args = ap.parse_args()
 
     probes = [
@@ -123,12 +128,27 @@ def main():
     except Exception:
         pass
 
-    rows = [probe(n, c, args.timeout) for n, c in probes]
+    rows = []
+    for n, c in probes:
+        is_wedge = "sweep4" in n or "c10240" in n or "sweep16_bc1024" in n
+        if args.controls_only and is_wedge:
+            rows.append({"probe": n, "ok": None, "status": "not_attempted",
+                         "wall_s": 0.0,
+                         "error": "controls-only run (wedge probes can "
+                                  "take the shared worker down)"})
+            print(json.dumps(rows[-1]), flush=True)
+            continue
+        rows.append(probe(n, c, args.timeout))
+    wedge_rows = [r for r in rows
+                  if "sweep4" in r["probe"] or "c10240" in r["probe"]]
+    if any(r["status"] == "not_attempted" for r in wedge_rows):
+        verdict = "controls_only"
+    elif all(r["ok"] for r in wedge_rows):
+        verdict = "toolchain_recovered"
+    else:
+        verdict = "walls_standing"
     out = {"fingerprint": fingerprint, "timeout_s": args.timeout,
-           "probes": rows,
-           "verdict": ("walls_standing" if not all(
-               r["ok"] for r in rows if "sweep4" in r["probe"]
-               or "c10240" in r["probe"]) else "toolchain_recovered")}
+           "probes": rows, "verdict": verdict}
     path = os.path.join(HERE, "toolchain_probe.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
