@@ -122,23 +122,30 @@ def main():
 
     # empirical device bf16 MXU peak: large square matmul, DEFAULT precision
     m = 4096 if args.quick else 8192
-    a16 = jnp.ones((m, m), jnp.bfloat16)
+    a0 = jax.random.normal(jax.random.PRNGKey(7), (m, m)).astype(jnp.bfloat16)
+    NBIG = 8
 
     @jax.jit
-    def big(acc):
-        p = jax.lax.dot_general(
-            a16, a16, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32)
-        return acc + jnp.float32(1e-30) * jnp.sum(p)
+    def big(a):
+        # chain NBIG dependent products so XLA cannot hoist/fold the matmul
+        # (a constant-input single product gets constant-folded and times
+        # dispatch, not the MXU) and the per-call tax amortizes
+        def body(x, _):
+            p = jax.lax.dot_general(
+                x, a0, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+            return (p * jnp.float32(1e-6)).astype(jnp.bfloat16), ()
+        x, _ = jax.lax.scan(body, a, None, length=NBIG)
+        return jnp.sum(x.astype(jnp.float32))
 
-    big(jnp.float32(0.0)).block_until_ready()
+    float(big(a0))
     best_big = float("inf")
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        float(big(jnp.float32(0.0)))
+        float(big(a0))
         best_big = min(best_big, time.perf_counter() - t0)
-    peak_tflops = 2.0 * m * m * m / best_big / 1e12
+    peak_tflops = NBIG * 2.0 * m * m * m / best_big / 1e12
     rows.append({"label": "bf16_matmul_peak", "m": m,
                  "tflops": round(peak_tflops, 1)})
     print(json.dumps(rows[-1]), flush=True)
